@@ -1,0 +1,183 @@
+"""End-to-end crawl parity: distributed engine vs sequential oracle.
+
+The golden-test style of the reference (/root/reference/test/test_warcit.py
+— run the whole pipeline on a fixture, assert exact outputs) applied to the
+engine's own spec: URL-seen set equality, total crawl-order equality,
+record-count parity (resources + revisits), byte-identical extracted text,
+and exact resume-after-kill semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests import oracle as seq
+from warcit_spark.plans.crawl import CrawlConfig, run_crawl
+from warcit_spark.plans.state import CrawlState
+from warcit_spark.sources.fixture import (
+    extract_text_expr,
+    generate_pages,
+    generate_robots,
+    generate_seeds,
+)
+
+N_PAGES = 200
+CFG = CrawlConfig(host_budget=12, max_rounds=6, n_salt=4, n_lineage_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def fixture_dfs(spark):
+    pages = generate_pages(spark, N_PAGES).persist()
+    pages.count()
+    return pages, generate_seeds(spark), generate_robots(spark)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(spark, fixture_dfs):
+    pages, seeds, robots = fixture_dfs
+    pages_dict = {
+        r.url: {"warc_ts": r.warc_ts, "html": bytes(r.html), "text": r.text, "lang": r.lang}
+        for r in pages.collect()
+    }
+    return seq.crawl(
+        pages_dict,
+        [(r.url, r.priority) for r in seeds.collect()],
+        [tuple(r) for r in robots.collect()],
+        host_budget=CFG.host_budget,
+        max_rounds=CFG.max_rounds,
+    )
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, fixture_dfs, tmp_path_factory):
+    pages, seeds, robots = fixture_dfs
+    state = CrawlState(str(tmp_path_factory.mktemp("crawl_state")))
+    summaries = run_crawl(spark, state, pages, seeds, robots, CFG)
+    return state, summaries
+
+
+def test_seen_set_matches_oracle(spark, engine_result, oracle_result):
+    state, _ = engine_result
+    seen = state.read_table(spark, "seen")
+    got = {
+        (r.url, r.round, r.reason)
+        for r in seen.select("url", "round", "reason").collect()
+    }
+    want = {(u, rnd, reason) for u, (rnd, reason) in oracle_result.seen.items()}
+    assert got == want
+
+
+def test_crawl_order_matches_oracle(spark, engine_result, oracle_result):
+    state, _ = engine_result
+    fetched = state.read_table(spark, "fetched")
+    got = [
+        (r.round, r.host, r.rank_in_host, r.url)
+        for r in fetched.where(F.col("record_type") == "resource")
+        .orderBy("round", "host", "rank_in_host")
+        .collect()
+    ]
+    want = sorted(oracle_result.order)
+    assert got == want
+
+
+def test_record_derivation_matches_oracle(spark, engine_result, oracle_result):
+    state, _ = engine_result
+    fetched = state.read_table(spark, "fetched")
+    got = {
+        (r.round, r.url, r.record_type, r.content_type, r.fetched, r.reason)
+        for r in fetched.collect()
+    }
+    want = {
+        (
+            rec["round"],
+            rec["url"],
+            rec["record_type"],
+            rec["content_type"],
+            rec["fetched"],
+            rec["reason"],
+        )
+        for rec in oracle_result.records
+    }
+    assert got == want
+
+
+def test_revisit_count_semantics(spark, engine_result, oracle_result):
+    """Mirrors the reference's '24 resources = 22 files + 2 index revisits'
+    count assertions (/root/reference/test/test_warcit.py:43)."""
+    state, _ = engine_result
+    fetched = state.read_table(spark, "fetched")
+    by_type = dict(
+        fetched.groupBy("record_type").count().rdd.map(tuple).collect()
+    )
+    want_revisits = sum(
+        1 for rec in oracle_result.records if rec["record_type"] == "revisit"
+    )
+    assert by_type.get("revisit", 0) == want_revisits
+    assert want_revisits > 0  # fixture must actually exercise D1
+
+
+def test_extracted_text_byte_identical(spark, fixture_dfs):
+    """Per-row invariant (BASELINE.json input_hint): engine-extracted text
+    == golden text column, byte-for-byte, for every html page."""
+    pages, _, _ = fixture_dfs
+    html_pages = pages.where(F.col("lang") == "en")
+    mismatch = html_pages.where(
+        extract_text_expr(F.decode(F.col("html"), "UTF-8")) != F.col("text")
+    ).count()
+    assert mismatch == 0
+    # and against the oracle's independent Python implementation
+    sample = html_pages.limit(50).collect()
+    for r in sample:
+        assert seq.extract_text(bytes(r.html).decode("utf-8")) == r.text
+
+
+def test_lineage_counters_consistent(spark, engine_result, oracle_result):
+    state, summaries = engine_result
+    lineage = state.read_table(spark, "lineage")
+    per_round = {
+        r.round: (r.urls_in, r.robots_denied, r.urls_emitted)
+        for r in lineage.groupBy("round")
+        .agg(
+            F.sum("urls_in").alias("urls_in"),
+            F.sum("robots_denied").alias("robots_denied"),
+            F.sum("urls_emitted").alias("urls_emitted"),
+        )
+        .collect()
+    }
+    for s in oracle_result.summaries:
+        got = per_round[s["round"]]
+        assert got == (s["urls_in"], s["robots_denied"], s["urls_emitted"])
+
+
+def test_robots_denied_host_never_fetched(spark, engine_result):
+    state, _ = engine_result
+    fetched = state.read_table(spark, "fetched")
+    assert fetched.where(F.col("host") == "www.host3.test").count() == 0
+    seen = state.read_table(spark, "seen")
+    denied = seen.where(F.col("reason") == "robots")
+    assert denied.where(F.col("host") == "www.host3.test").count() > 0
+
+
+def test_resume_exactly(spark, fixture_dfs, tmp_path_factory, engine_result):
+    """Kill-after-round-k resume: partial run + resumed run == one-shot run
+    (SURVEY.md §7.3 #4)."""
+    pages, seeds, robots = fixture_dfs
+    root = str(tmp_path_factory.mktemp("crawl_resume"))
+
+    partial_cfg = CrawlConfig(**{**CFG.__dict__, "max_rounds": 2})
+    state2 = CrawlState(root)
+    run_crawl(spark, state2, pages, seeds, robots, partial_cfg)
+    assert state2.committed_round() == 1
+
+    # resume with a fresh state object (new "driver process")
+    state3 = CrawlState(root)
+    run_crawl(spark, state3, pages, seeds, robots, CFG)
+
+    state_full, _ = engine_result
+    for table in ("seen", "fetched"):
+        a = state_full.read_table(spark, table)
+        b = state3.read_table(spark, table)
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0

@@ -1,0 +1,104 @@
+"""URL synthesis + canonicalization parity tests.
+
+- synth_url_expr vs a hand-run of the reference's algorithm
+  (PrefixedFileInfo, /root/reference/warcit/base.py:104-111) on golden pairs.
+- canonicalize_url_expr (JVM) vs canonicalize_urls_pandas (urllib) — two
+  independent implementations must agree.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from warcit_spark.functions.urls import (
+    canonicalize_url_expr,
+    canonicalize_urls_pandas,
+    encode_relpath_expr,
+    host_expr,
+    salted_host_expr,
+    synth_url_expr,
+    url_hash64_expr,
+)
+
+# expected values computed by hand-executing the reference algorithm:
+# url = path.replace(sep,'/').strip('./'); for c in '#;?:@&=+$, ':
+#     url = url.replace(c, '%%%x' % ord(c)); url = prefix + url
+SYNTH_GOLDEN = [
+    ("a/b/c.html", "http://x.test/a/b/c.html"),
+    ("./a/b.html", "http://x.test/a/b.html"),
+    ("dir/file name.html", "http://x.test/dir/file%20name.html"),
+    ("d/a,b;c.html", "http://x.test/d/a%2cb%3bc.html"),
+    ("q/x?y=1&z=2", "http://x.test/q/x%3fy%3d1%26z%3d2"),
+    ("p/at@host$1+2.txt", "http://x.test/p/at%40host%241%2b2.txt"),
+    ("h/frag#sec:2.html", "http://x.test/h/frag%23sec%3a2.html"),
+    ("trail/dot.", "http://x.test/trail/dot"),
+    ("windows\\sep\\file.txt", "http://x.test/windows/sep/file.txt"),
+]
+
+CANON_CASES = [
+    "HTTP://WWW.Example.COM:80/a/b?z=1&a=2#frag",
+    "https://Host.test:8443/p?b=2&a=1",
+    "https://host.test:443/p",
+    "http://h.test",
+    "http://h.test/",
+    "http://h.test/p?",
+    "http://h.test/p?a",
+    "http://UPPER.test/CaseKeptInPath/X.html",
+    "  http://pad.test/x  ",
+    "http://h.test/a%20b.html",
+    "http://h.test/q?b=2&a=1&a=0",
+    "ftp://files.test:21/pub",
+    "not a url",
+]
+
+
+def test_synth_url_golden(spark):
+    df = spark.createDataFrame([(p,) for p, _ in SYNTH_GOLDEN], ["p"])
+    got = [
+        r.u
+        for r in df.select(
+            synth_url_expr("http://x.test/", F.col("p")).alias("u")
+        ).collect()
+    ]
+    assert got == [want for _, want in SYNTH_GOLDEN]
+
+
+def test_encode_table_lowercase_hex(spark):
+    df = spark.createDataFrame([("a b;c",)], ["p"])
+    assert (
+        df.select(encode_relpath_expr(F.col("p")).alias("e")).first().e
+        == "a%20b%3bc"
+    )
+
+
+def test_canonicalize_expr_matches_pandas_impl(spark):
+    df = spark.createDataFrame([(u,) for u in CANON_CASES], ["url"])
+    got_expr = [
+        r.c
+        for r in df.select(canonicalize_url_expr(F.col("url")).alias("c")).collect()
+    ]
+    got_pandas = list(canonicalize_urls_pandas(pd.Series(CANON_CASES)))
+    assert got_expr == got_pandas
+
+
+def test_canonicalize_specific_values(spark):
+    df = spark.createDataFrame(
+        [("HTTP://WWW.Example.COM:80/a/b?z=1&a=2#frag",)], ["url"]
+    )
+    assert (
+        df.select(canonicalize_url_expr(F.col("url")).alias("c")).first().c
+        == "http://www.example.com/a/b?a=2&z=1"
+    )
+
+
+def test_host_and_salt(spark):
+    df = spark.createDataFrame([("http://A.test:8080/x",)], ["url"])
+    row = df.select(
+        host_expr(F.col("url")).alias("h"),
+        salted_host_expr(host_expr(F.col("url")), F.col("url"), 4).alias("s"),
+        url_hash64_expr(F.col("url")).alias("x"),
+    ).first()
+    assert row.h == "a.test"
+    assert row.s.startswith("a.test#")
+    assert int(row.s.split("#")[1]) in range(4)
+    assert isinstance(row.x, int)

@@ -1,0 +1,128 @@
+"""MIME-type precedence chain and charset suffix rules.
+
+Reference semantics (the correctness contract, SURVEY.md §4.3 #1-2):
+
+- ``_guess_type`` (warcit/warcit.py:620-658): mapfile Content-Type (before
+  ';') ≻ mime-override fnmatch on the URL ≻ method guess (extension table /
+  content sniff) ≻ xhtml->html rewrite (``--no-xhtml``) ≻ default
+  ``text/html``.
+- ``_guess_charset`` (warcit/warcit.py:661-716): mapfile Content-Type with a
+  ';' wins outright; charset applies only to ``text/*``; a detected
+  ``ascii`` is suppressed to '' ; tika's default-assigned ``windows-1252`` /
+  ``ISO-8859-1`` suppressed unless a Content-Type-Hint exists; output is
+  ``'; charset=X'`` or ``''``.
+
+All of it is a single ``coalesce``/``when`` projection — short-circuiting
+CASE WHEN chains that Catalyst folds into whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import mimetypes
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_MIME = "text/html"
+XHTML = "application/xhtml+xml"
+
+
+def mimetypes_table() -> list[tuple[str, str]]:
+    """(extension, mime) pairs from the stdlib table, non-strict, with the
+    reference's extra registration ``.ico -> image/x-icon``
+    (warcit/warcit.py:258-260)."""
+    mimetypes.init()
+    table = dict(mimetypes.types_map)
+    table.update(mimetypes.common_types)
+    table[".ico"] = "image/x-icon"
+    return sorted(table.items())
+
+
+def url_extension_expr(url: Column) -> Column:
+    """Lowercased final extension of the URL path, query stripped first
+    (reference guesses on ``url.split('?', 1)[0]``, warcit/warcit.py:634)."""
+    path = F.substring_index(url, "?", 1)
+    return F.lower(F.regexp_extract(path, r"(\.[A-Za-z0-9]+)$", 1))
+
+
+def mime_override_expr(url: Column, overrides: dict[str, str]) -> Column:
+    """First-match-wins fnmatch override chain (warcit/warcit.py:626-629).
+
+    fnmatch patterns compile to anchored regexes via the stdlib translator;
+    ``rlike`` evaluates them JVM-side.  Case-sensitive, matching POSIX
+    fnmatch (the reference lowercases only include/exclude patterns, not
+    mime overrides).
+    """
+    out: Column = F.lit(None).cast("string")
+    for pattern, mime in reversed(list(overrides.items())):
+        out = F.when(url.rlike(fnmatch.translate(pattern)), F.lit(mime)).otherwise(out)
+    return out
+
+
+def guess_mime_expr(
+    mapfile_ct: Column,
+    override_mime: Column,
+    guessed_mime: Column,
+    *,
+    no_xhtml: bool = False,
+) -> Column:
+    """The full F3 precedence chain as one coalesce projection."""
+    mapfile_mime = F.when(
+        mapfile_ct.isNotNull(), F.substring_index(mapfile_ct, ";", 1)
+    )
+    mime = F.coalesce(mapfile_mime, override_mime, guessed_mime)
+    if no_xhtml:
+        mime = F.when(mime == XHTML, F.lit(DEFAULT_MIME)).otherwise(mime)
+    return F.coalesce(mime, F.lit(DEFAULT_MIME))
+
+
+def charset_suffix_expr(
+    mime: Column,
+    mapfile_ct: Column,
+    detected_charset: Column,
+    *,
+    enabled: bool = True,
+    fixed_charset: str | None = None,
+    suppress_default_8bit: bool = False,
+    has_hint: Column | None = None,
+) -> Column:
+    """``'; charset=X'`` or ``''`` per the F5 suppression rules.
+
+    ``detected_charset`` is whatever detector ran (a vectorized pandas UDF
+    in this engine — see operators/charset.py); the *rules* below are the
+    reference contract and are pure expressions.
+    """
+    # mapfile Content-Type containing ';' wins outright (warcit.py:663-666)
+    mapfile_suffix = F.when(
+        mapfile_ct.isNotNull() & mapfile_ct.contains(";"),
+        F.concat(F.lit(";"), F.substring_index(mapfile_ct, ";", -1)),
+    )
+
+    if not enabled:
+        body = F.lit("")
+    elif fixed_charset is not None:
+        body = F.lit(fixed_charset)
+    else:
+        cs = F.coalesce(detected_charset, F.lit(""))
+        # ascii suppression (warcit.py:683-684)
+        cs = F.when(F.lower(cs) == "ascii", F.lit("")).otherwise(cs)
+        if suppress_default_8bit:
+            # tika's default 8-bit assignment suppression (warcit.py:697-703)
+            hinted = has_hint if has_hint is not None else F.lit(False)
+            cs = F.when(
+                cs.isin("windows-1252", "ISO-8859-1") & ~hinted, F.lit("")
+            ).otherwise(cs)
+        body = cs
+
+    suffix = F.when(body != "", F.concat(F.lit("; charset="), body)).otherwise(
+        F.lit("")
+    )
+    # charset only ever applies to text/* (warcit.py:668-669)
+    text_only = F.when(mime.startswith("text/"), suffix).otherwise(F.lit(""))
+    return F.coalesce(mapfile_suffix, text_only)
+
+
+def resolve_content_type_expr(mime: Column, charset_suffix: Column) -> Column:
+    """``warc_content_type = mime + encoding`` (warcit/warcit.py:487)."""
+    return F.concat(mime, charset_suffix)

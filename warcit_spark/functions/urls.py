@@ -1,0 +1,165 @@
+"""URL synthesis, canonicalization, and hashing.
+
+Semantics parity targets (reference, read-only at /root/reference):
+
+- relpath -> URL synthesis: ``warcit/base.py:104-111`` (PrefixedFileInfo).
+  Path separators normalized to '/', ends stripped of the char-set ``./``,
+  then each char of the RFC-2396-reserved table ``#;?:@&=+$, `` replaced by
+  its **lowercase** hex escape (``'%%%x' % ord(c)`` — so ``;`` -> ``%3b``).
+- canonicalization (north-star superset of the above, BASELINE.json): lowercase
+  scheme+host, strip fragment, strip default port (http:80 / https:443),
+  sort query parameters, normalize empty path to '/'.
+
+Everything below the pandas variant is pure ``pyspark.sql.functions`` —
+JVM-side, whole-stage-codegen'd, no Python in the hot path.  The pandas UDF
+variant exists as an independently-implemented cross-check used by tests
+(two implementations agreeing on random inputs is the correctness argument).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The reference's encode table: RFC 2396 reserved chars plus '#' and space,
+# lowercase hex (warcit/base.py:106-108).  Order does not matter: no char's
+# escape sequence contains another table char ('%' is not in the table).
+RESERVED_ENCODE_TABLE: list[tuple[str, str]] = [
+    (c, "%%%x" % ord(c)) for c in "#;?:@&=+$, "
+]
+
+DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21", "ws": "80", "wss": "443"}
+
+
+def encode_relpath_expr(col: Column) -> Column:
+    """Percent-encode the reference's reserved char set, lowercase hex."""
+    out = col
+    for ch, esc in RESERVED_ENCODE_TABLE:
+        out = F.replace(out, F.lit(ch), F.lit(esc))
+    return out
+
+
+def synth_url_expr(url_prefix: str, relpath: Column) -> Column:
+    """relpath -> URL exactly as the reference synthesizes it.
+
+    '/'-normalize separators, strip leading/trailing chars in {'.', '/'}
+    (Python ``str.strip('./')`` strips the *set*), percent-encode, prefix.
+    """
+    p = F.replace(relpath, F.lit("\\"), F.lit("/"))
+    p = F.regexp_replace(p, r"^[./]+|[./]+$", "")
+    return F.concat(F.lit(url_prefix), encode_relpath_expr(p))
+
+
+def _sorted_query_expr(query: Column) -> Column:
+    """Sort '&'-separated query params lexicographically (stable canonical)."""
+    return F.array_join(F.array_sort(F.split(query, "&")), "&")
+
+
+def canonicalize_url_expr(url: Column) -> Column:
+    """North-star canonical form as a pure Catalyst expression.
+
+    lowercase scheme+host, drop fragment, drop default port, sort query
+    params, empty path -> '/'.  Malformed URLs (no '://') pass through with
+    only fragment-stripping and whitespace trim, so the pipeline never drops
+    rows here (filtering is a separate, explicit operator).
+    """
+    u = F.trim(url)
+    # fragment always goes first (cheap, and parse_url REF is never wanted)
+    u = F.substring_index(u, "#", 1)
+    # raw spaces are rejected by java.net.URI; pre-encode (lowercase hex,
+    # matching the reference's encode table, warcit/base.py:107-108)
+    u = F.replace(u, F.lit(" "), F.lit("%20"))
+
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    authority = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    # split host[:port]; IPv6 bracket hosts keep their brackets in HOST
+    host = F.substring_index(authority, ":", 1)
+    port = F.when(authority.contains(":"), F.substring_index(authority, ":", -1))
+    default_port = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in DEFAULT_PORTS.items() for x in kv]
+        ),
+        scheme,
+    )
+    port_part = F.when(
+        port.isNotNull() & (port != F.coalesce(default_port, F.lit(""))),
+        F.concat(F.lit(":"), port),
+    ).otherwise(F.lit(""))
+
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    query_part = F.when(
+        query.isNotNull() & (query != ""),
+        F.concat(F.lit("?"), _sorted_query_expr(query)),
+    ).otherwise(F.lit(""))
+
+    canonical = F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    return F.when(scheme.isNotNull() & host.isNotNull(), canonical).otherwise(u)
+
+
+def canonicalize_urls_pandas(urls: pd.Series) -> pd.Series:
+    """Independent vectorized implementation (urllib-based) for cross-checks.
+
+    Wrapped by tests in ``pandas_udf(StringType())``; the engine's hot path
+    uses :func:`canonicalize_url_expr` (JVM).  Agreement between the two on
+    adversarial inputs is asserted in tests/test_urls.py.
+    """
+    from urllib.parse import urlsplit
+
+    def one(u: str) -> str:
+        if u is None:
+            return None
+        u = u.strip()
+        u = u.split("#", 1)[0]
+        u = u.replace(" ", "%20")
+        try:
+            parts = urlsplit(u)
+        except ValueError:
+            return u
+        if not parts.scheme or not parts.netloc:
+            return u
+        scheme = parts.scheme.lower()
+        netloc = parts.netloc
+        if ":" in netloc:
+            host, _, port = netloc.rpartition(":")
+            if port == DEFAULT_PORTS.get(scheme, ""):
+                netloc = host
+            else:
+                netloc = host + ":" + port
+        netloc = netloc.lower()
+        path = parts.path or "/"
+        query = ""
+        if parts.query:
+            query = "?" + "&".join(sorted(parts.query.split("&")))
+        return f"{scheme}://{netloc}{path}{query}"
+
+    return urls.map(one)
+
+
+def host_expr(url: Column) -> Column:
+    """Lowercased host of a URL (politeness/partitioning key)."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+def url_hash64_expr(url: Column) -> Column:
+    """64-bit dedup/prefilter hash (xxhash64).
+
+    The exact seen-set keys on the full canonical URL string — at 10^10 URLs
+    even a 64-bit hash sees birthday collisions (~3/1000 per 10^9), and a
+    32-bit murmur3 is guaranteed to collide, so hashes here are *partitioning
+    and prefilter* keys only, never identity (SURVEY.md §7.3 hard part #1).
+    """
+    return F.xxhash64(url)
+
+
+def salted_host_expr(host: Column, url: Column, n_salt: int = 16) -> Column:
+    """Skew-defeating partition key: ``host '#' pmod(murmur3(url), n_salt)``.
+
+    Spark's ``hash()`` is murmur3_x86_32 — the north-star's murmur3.  A hot
+    host (60% of a 10^10 frontier) fans out across ``n_salt`` partitions
+    instead of melting one executor; AQE skew-join handles the residue.
+    """
+    return F.concat(host, F.lit("#"), F.pmod(F.hash(url), F.lit(n_salt)).cast("string"))

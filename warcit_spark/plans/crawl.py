@@ -1,0 +1,337 @@
+"""The crawl loop: iterative-batch frontier scheduling over a pages oracle.
+
+One round r (SURVEY.md §3.1 restated for the new engine):
+
+    frontier_r -> robots (broadcast, in-row longest-prefix)
+               -> politeness select (two-stage skew-safe window)
+               -> fetch = LEFT JOIN pages ON url          (J4)
+               -> record derivation (resource + index-revisit rows, D1/A4)
+               -> link extraction (JVM regex, D4) -> canonicalize
+               -> within-round dedup (groupBy max-priority)
+               -> anti-join seen, anti-join deferred      (J5)
+               -> frontier_{r+1} = deferred UNION new
+    writes: seen delta, fetched delta, frontier_{r+1}, lineage; then the
+    atomic round-commit marker (plans/state.py).
+
+Crawl-order contract (SURVEY.md §7.3 #1): the engine *defines* the total
+order as (round, host ASC, rank_in_host) with rank ordered by (priority
+DESC, url ASC).  The sequential oracle (tests/oracle.py) implements the
+same spec in plain Python; tests assert set- and order-equality.
+
+Determinism notes: lineage partition ids are ``pmod(xxhash64(host), P)`` —
+a *content-defined* partitioning, stable across parallelism levels (unlike
+``spark_partition_id()``), so local[8] and local[32] runs produce
+comparable lineage for the scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warcit_spark.functions.mime import DEFAULT_MIME, mimetypes_table, url_extension_expr
+from warcit_spark.functions.timestamps import iso8601z_expr
+from warcit_spark.functions.urls import canonicalize_url_expr, host_expr
+from warcit_spark.operators.links import extract_links
+from warcit_spark.operators.robots import apply_robots
+from warcit_spark.plans.politeness import politeness_select
+from warcit_spark.plans.state import CrawlState
+
+FRONTIER_SCHEMA = "url string, host string, priority double, round_added int"
+DEFAULT_INDEX_SUFFIXES = ("/index.html", "/index.htm")
+
+
+@dataclass
+class CrawlConfig:
+    host_budget: int = 50          # per-host per-round budget before delay scaling
+    max_rounds: int = 20
+    link_decay: float = 0.8        # child priority = parent priority * decay
+    n_salt: int = 16               # politeness pre-rank salt slots
+    n_lineage_partitions: int = 32
+    index_suffixes: tuple[str, ...] = DEFAULT_INDEX_SUFFIXES
+    extra: dict = field(default_factory=dict)
+
+
+def canonical_seed_frontier(seeds: DataFrame) -> DataFrame:
+    """seeds(url, priority) -> frontier_0: canonicalize, collapse collisions
+    keeping the max priority (deterministic agg)."""
+    canon = seeds.select(
+        canonicalize_url_expr(F.col("url")).alias("url"),
+        F.col("priority").cast("double").alias("priority"),
+    )
+    return (
+        canon.groupBy("url")
+        .agg(F.max("priority").alias("priority"))
+        .select(
+            "url",
+            host_expr(F.col("url")).alias("host"),
+            "priority",
+            F.lit(0).alias("round_added"),
+        )
+        .where(F.col("host").isNotNull())
+    )
+
+
+def _mime_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(mimetypes_table(), "_ext string, _mime string")
+
+
+def derive_fetch_records(
+    fetched: DataFrame, mime_dim: DataFrame, index_suffixes: tuple[str, ...]
+) -> DataFrame:
+    """Fetched pages -> WARC-analog record rows (reference make_record +
+    make_index_revisit semantics, warcit/warcit.py:464-566).
+
+    - content_type: extension guess ≻ default text/html (F3 tail of the
+      precedence chain; mapfile/override stages live in operators/records.py
+      and apply when those side-inputs exist).
+    - payload digest: sha1 over the payload (warcit.py:544 analog, A4).
+    - D1: fetched urls (lowercased) ending in an index suffix emit an extra
+      ``revisit`` row for the directory URL carrying the same digest/date.
+    """
+    with_mime = (
+        fetched.withColumn("_ext", url_extension_expr(F.col("url")))
+        .join(F.broadcast(mime_dim), on="_ext", how="left")
+        .drop("_ext")
+    )
+    resources = with_mime.select(
+        "round",
+        "url",
+        "host",
+        "priority",
+        "rank_in_host",
+        F.lit("resource").alias("record_type"),
+        F.coalesce(F.col("_mime"), F.lit(DEFAULT_MIME)).alias("content_type"),
+        iso8601z_expr(F.col("warc_ts")).alias("warc_date"),
+        F.when(F.col("fetched"), F.sha1(F.col("html"))).alias("payload_digest"),
+        F.coalesce(F.length(F.col("html")), F.lit(0)).cast("long").alias("size"),
+        "fetched",
+        "reason",
+    )
+    index_match = F.lower(F.col("url")).endswith(index_suffixes[0])
+    for suf in index_suffixes[1:]:
+        index_match = index_match | F.lower(F.col("url")).endswith(suf)
+    revisits = resources.where(F.col("fetched") & index_match).select(
+        "round",
+        F.regexp_replace(F.col("url"), "[^/]+$", "").alias("url"),
+        "host",
+        "priority",
+        "rank_in_host",
+        F.lit("revisit").alias("record_type"),
+        "content_type",
+        "warc_date",
+        "payload_digest",
+        F.lit(0).cast("long").alias("size"),
+        "fetched",
+        F.lit("revisit").alias("reason"),
+    )
+    return resources.unionByName(revisits)
+
+
+def _lineage_counts(df: DataFrame, name: str, n_parts: int) -> DataFrame:
+    pid = F.pmod(F.xxhash64("host"), F.lit(n_parts)).cast("int")
+    return df.groupBy(pid.alias("partition_id")).agg(F.count("*").alias(name))
+
+
+def crawl_round(
+    spark: SparkSession,
+    state: CrawlState,
+    pages: DataFrame,
+    robots: DataFrame,
+    round_id: int,
+    cfg: CrawlConfig,
+) -> dict:
+    """Run one crawl round and commit it.  Returns the round summary."""
+    frontier = state.read_table(spark, "frontier", upto_round=round_id)
+    if frontier is None:
+        raise RuntimeError(f"no frontier delta for round {round_id}")
+    frontier = frontier.where(F.col("round") == round_id).select(
+        "url", "host", "priority", "round_added"
+    )
+    frontier = frontier.persist()
+    n_frontier = frontier.count()
+    if n_frontier == 0:
+        frontier.unpersist()
+        summary = {"urls_in": 0, "urls_emitted": 0, "frontier_next": 0}
+        state.write_delta(
+            spark.createDataFrame([], "round int, partition_id int, urls_in long, "
+            "robots_denied long, urls_emitted long, deferred long, links_found long, "
+            "dupes_dropped long, new_urls long"), "lineage", round_id)
+        state.commit_round(round_id, summary)
+        return summary
+
+    # ---- robots (broadcast, zero-shuffle on frontier) ----------------------
+    with_rules = apply_robots(frontier, robots)
+    denied = with_rules.where(~F.col("allowed"))
+    allowed = with_rules.where(F.col("allowed"))
+
+    # ---- politeness (two-stage skew-safe ranking) --------------------------
+    selected = politeness_select(
+        allowed, cfg.host_budget, n_salt=cfg.n_salt
+    ).persist()
+    deferred = allowed.join(selected.select("url"), on="url", how="left_anti")
+
+    # ---- fetch: J4 against the pages oracle --------------------------------
+    fetched = (
+        selected.join(
+            pages.withColumnRenamed("url", "_purl"),
+            selected["url"] == F.col("_purl"),
+            "left",
+        )
+        .drop("_purl")
+        .select(
+            F.lit(round_id).alias("round"),
+            "url",
+            "host",
+            "priority",
+            "rank_in_host",
+            "warc_ts",
+            "html",
+            "text",
+            "lang",
+            F.col("warc_ts").isNotNull().alias("fetched"),
+            F.when(F.col("warc_ts").isNotNull(), F.lit("fetched"))
+            .otherwise(F.lit("missing"))
+            .alias("reason"),
+        )
+        .persist()
+    )
+
+    records = derive_fetch_records(
+        fetched, _mime_dim(spark), cfg.index_suffixes
+    )
+
+    # ---- link extraction + canonicalization (D4) ---------------------------
+    html_pages = fetched.where(
+        F.col("fetched") & F.col("url").endswith(".html")
+        | F.col("fetched") & ~F.col("url").rlike(r"\.[A-Za-z0-9]+$")
+    )
+    raw_links = extract_links(html_pages, carry=("priority",))
+    candidates = raw_links.select(
+        canonicalize_url_expr(F.col("link")).alias("url"),
+        (F.col("priority") * cfg.link_decay).alias("priority"),
+    )
+    candidates = candidates.withColumn("host", host_expr(F.col("url"))).where(
+        F.col("host").isNotNull()
+    )
+    n_links = candidates.count()
+
+    # within-round dedup: deterministic max-priority per url
+    deduped = candidates.groupBy("url").agg(
+        F.max("priority").alias("priority"), F.first("host").alias("host")
+    )
+
+    # ---- seen-set update + anti-joins (J5) ---------------------------------
+    seen_prev = state.read_table(spark, "seen", upto_round=round_id - 1)
+    seen_delta = (
+        selected.select("url", "host")
+        .withColumn("reason", F.lit("scheduled"))
+        .unionByName(
+            denied.select("url", "host").withColumn("reason", F.lit("robots"))
+        )
+        .withColumn("round_seen", F.lit(round_id))
+    )
+    seen_all = (
+        seen_prev.select("url").unionByName(seen_delta.select("url"))
+        if seen_prev is not None
+        else seen_delta.select("url")
+    )
+    new_urls = (
+        deduped.join(seen_all, on="url", how="left_anti")
+        .join(deferred.select("url"), on="url", how="left_anti")
+        .select(
+            "url", "host", "priority", F.lit(round_id + 1).alias("round_added")
+        )
+    )
+    next_frontier = deferred.select(
+        "url", "host", "priority", "round_added"
+    ).unionByName(new_urls).withColumn("round", F.lit(round_id + 1)).persist()
+
+    # ---- lineage (content-defined partitions, stable across cluster sizes) -
+    P = cfg.n_lineage_partitions
+    parts = (
+        _lineage_counts(frontier, "urls_in", P)
+        .join(_lineage_counts(denied, "robots_denied", P), "partition_id", "full")
+        .join(_lineage_counts(selected, "urls_emitted", P), "partition_id", "full")
+        .join(_lineage_counts(deferred, "deferred", P), "partition_id", "full")
+        .join(_lineage_counts(candidates, "links_found", P), "partition_id", "full")
+        .join(_lineage_counts(new_urls, "new_urls", P), "partition_id", "full")
+    )
+    lineage = parts.select(
+        F.lit(round_id).alias("round"),
+        "partition_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in (
+                "urls_in",
+                "robots_denied",
+                "urls_emitted",
+                "deferred",
+                "links_found",
+                "new_urls",
+            )
+        ],
+    ).withColumn(
+        "dupes_dropped",
+        F.lit(None).cast("long"),  # filled below from global counts
+    )
+
+    # ---- writes (deltas first, marker last = atomic commit) ----------------
+    state.write_delta(seen_delta, "seen", round_id)
+    state.write_delta(records, "fetched", round_id)
+    state.write_delta(next_frontier, "frontier", round_id + 1)
+
+    n_selected = selected.count()
+    n_denied = denied.count()
+    n_new = new_urls.count()
+    n_deduped = deduped.count()
+    n_next = next_frontier.count()
+    lineage = lineage.withColumn(
+        "dupes_dropped", F.lit(n_links - n_new).cast("long")
+    )
+    state.write_delta(lineage, "lineage", round_id)
+
+    summary = {
+        "urls_in": n_frontier,
+        "robots_denied": n_denied,
+        "urls_emitted": n_selected,
+        "links_found": n_links,
+        "links_deduped": n_deduped,
+        "new_urls": n_new,
+        "frontier_next": n_next,
+    }
+    state.commit_round(round_id, summary)
+
+    frontier.unpersist()
+    selected.unpersist()
+    fetched.unpersist()
+    next_frontier.unpersist()
+    return summary
+
+
+def run_crawl(
+    spark: SparkSession,
+    state: CrawlState,
+    pages: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame,
+    cfg: CrawlConfig | None = None,
+) -> list[dict]:
+    """Run (or resume) a crawl to completion.  Resume semantics: rounds are
+    atomic; any uncommitted debris is dropped and the round re-runs
+    idempotently (SURVEY.md §7.3 #4)."""
+    cfg = cfg or CrawlConfig()
+    state.drop_uncommitted()
+    start_round = state.committed_round() + 1
+    if start_round == 0:
+        state.write_delta(canonical_seed_frontier(seeds), "frontier", 0)
+
+    summaries = []
+    for r in range(start_round, cfg.max_rounds):
+        summary = crawl_round(spark, state, pages, robots, r, cfg)
+        summaries.append(summary)
+        if summary.get("frontier_next", 0) == 0:
+            break
+    return summaries

@@ -1,0 +1,133 @@
+"""Crawl-state catalog: parquet snapshot tables with atomic round commits.
+
+The design target is Iceberg (`frontier`/`seen`/`fetched`/`lineage` as
+Iceberg tables, one transaction per crawl round, resume = read the latest
+snapshot — SURVEY.md §7.0).  The sandbox has no Iceberg runtime jar, so this
+module implements the same contract on plain parquet + an atomic commit
+marker, preserving every semantic the engine relies on:
+
+- **round atomicity**: each round writes its table deltas under
+  ``<root>/<table>/round=<k>/`` (idempotent ``overwrite``), then publishes a
+  commit marker via ``os.replace`` (atomic on POSIX).  The marker is written
+  *last*, mirroring the reference's write-results-after-every-file
+  checkpoint discipline (/root/reference/warcit/converter.py:129-130) and
+  solving the cross-table-atomicity hard part (SURVEY.md §7.3 #4): a round
+  without a marker is invisible and is simply re-run on resume.
+- **partition pruning**: ``round`` is a physical partition column, so
+  ``read_table(upto_round=k)`` prunes files without touching newer data.
+- **lineage**: per-(round, partition) counters are a table like any other;
+  the lineage delta doubles as the round's audit record.
+
+On a real cluster, swap ``_write_delta``/``read_table`` for
+``df.writeTo(...).append()`` / ``spark.read.table(...)`` — call sites do not
+change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("frontier", "seen", "fetched", "lineage")
+
+
+@dataclass
+class CrawlState:
+    root: str
+
+    def __post_init__(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+
+    # ---------------------------------------------------------------- commits
+    def _marker_path(self, round_id: int) -> str:
+        return os.path.join(self.root, f"_committed_round_{round_id:06d}.json")
+
+    def committed_round(self) -> int:
+        """Highest committed round id, or -1."""
+        rounds = [
+            int(name[len("_committed_round_") : -len(".json")])
+            for name in os.listdir(self.root)
+            if name.startswith("_committed_round_") and name.endswith(".json")
+        ]
+        return max(rounds, default=-1)
+
+    def commit_round(self, round_id: int, summary: dict) -> None:
+        """Atomically publish a round (write marker last, via os.replace)."""
+        payload = dict(summary)
+        payload["round"] = round_id
+        payload["committed_at_unix"] = time.time()
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(payload, fh, sort_keys=True)
+        os.replace(tmp, self._marker_path(round_id))
+
+    def round_summary(self, round_id: int) -> dict:
+        with open(self._marker_path(round_id)) as fh:
+            return json.load(fh)
+
+    # ----------------------------------------------------------------- tables
+    def delta_path(self, table: str, round_id: int) -> str:
+        return os.path.join(self.root, table, f"round={round_id}")
+
+    def write_delta(self, df: DataFrame, table: str, round_id: int) -> None:
+        """Write one round's delta for a table.  ``overwrite`` keeps replay
+        idempotent: a crashed, uncommitted round is silently rewritten.
+
+        The ``round`` column, if present, is carried by the partition
+        directory name (``round=<k>``) and re-inferred at read time, so it
+        is stripped from the physical files.
+        """
+        if "round" in df.columns:
+            df = df.drop("round")
+        df.write.mode("overwrite").parquet(self.delta_path(table, round_id))
+
+    def read_table(
+        self, spark: SparkSession, table: str, upto_round: int | None = None
+    ) -> DataFrame | None:
+        """Union of committed deltas (round <= upto_round), partition-pruned.
+
+        Returns None when the table has no committed data yet (callers
+        supply their own empty frame with the right schema).
+        """
+        if upto_round is None:
+            upto_round = self.committed_round()
+        if upto_round < 0:
+            return None
+        base = os.path.join(self.root, table)
+        if not os.path.isdir(base):
+            return None
+        existing = [
+            r
+            for r in range(upto_round + 1)
+            if os.path.isdir(self.delta_path(table, r))
+        ]
+        if not existing:
+            return None
+        df = spark.read.option("basePath", base).parquet(
+            *[self.delta_path(table, r) for r in existing]
+        )
+        return df
+
+    def drop_uncommitted(self) -> None:
+        """Remove delta dirs newer than the last committed round (crash
+        debris); called on resume before re-running the next round."""
+        committed = self.committed_round()
+        for table in TABLES:
+            # round r legitimately *produces* the frontier delta for r+1,
+            # so the frontier table keeps one delta beyond the marker
+            keep_upto = committed + 1 if table == "frontier" else committed
+            base = os.path.join(self.root, table)
+            if not os.path.isdir(base):
+                continue
+            for name in os.listdir(base):
+                if not name.startswith("round="):
+                    continue
+                r = int(name.split("=", 1)[1])
+                if r > keep_upto:
+                    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
