@@ -1,0 +1,122 @@
+"""Dedup family + similarity search tests on crafted corpora."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from warcit_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_expr,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+    word_shingles_expr,
+)
+from warcit_spark.operators.similarity import cosine_topk, lsh_bucket_ann
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one-word change -> high jaccard
+FAR = "completely different content about spark distributed query engines and parquet columnar storage formats"
+
+DOCS = [
+    (0, BASE),
+    (1, BASE),               # exact dup of 0
+    (2, NEAR),               # near dup of 0
+    (3, FAR),
+    (4, "   " + BASE + "  "),  # whitespace-normalized dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.doc_id: r.dup_count for r in exact_dedup(docs).collect()}
+    # 0,1,4 collapse (whitespace-normalized); 2 and 3 stand alone
+    assert out == {0: 3, 2: 1, 3: 1}
+
+
+def test_shingles_and_jaccard(spark, docs):
+    pair = docs.where(F.col("doc_id").isin(0, 2)).agg(
+        F.collect_list(word_shingles_expr(F.col("text"), 3)).alias("s")
+    )
+    a_b = pair.select(
+        jaccard_expr(F.col("s")[0], F.col("s")[1]).alias("j")
+    ).first().j
+    assert 0.7 < a_b < 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_lsh_dedup(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs          # exact dup
+    assert (0, 2) in pairs          # near dup
+    assert not any(3 in p for p in pairs)  # FAR never pairs
+
+
+def test_simhash_properties(spark, docs):
+    out = {r.id: r.simhash for r in simhash(docs).collect()}
+    assert out[0] == out[1]  # identical text -> identical simhash
+    ham02 = bin((out[0] ^ out[2]) & ((1 << 64) - 1)).count("1")
+    ham03 = bin((out[0] ^ out[3]) & ((1 << 64) - 1)).count("1")
+    assert ham02 < ham03  # near-dup closer than unrelated
+
+
+def test_simhash_near_dups_blocked_join(spark, docs):
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in simhash_near_dups(docs, max_hamming=8).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert 0.7 < got[(0, 2)] < 1.0
+    assert not any(3 in p for p in got)
+
+
+# ----------------------------------------------------------------- similarity
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.orderBy("vec_id").collect()
+    q = list(rows[0].embedding)
+
+    got = [(r.vec_id, r.cosine) for r in cosine_topk(emb, q, k=5).collect()]
+
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    qv = np.array(q)
+    sims = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    order = sorted(
+        zip([r.vec_id for r in rows], sims), key=lambda t: (-round(t[1], 6), t[0])
+    )[:5]
+    for (gid, gcos), (wid, wcos) in zip(got, order):
+        assert gid == wid
+        assert math.isclose(gcos, round(wcos, 6), abs_tol=2e-6)
+
+
+def test_lsh_ann_contains_query_itself(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.orderBy("vec_id").first()
+    got = lsh_bucket_ann(emb, list(first.embedding), k=5).collect()
+    assert got, "query's own bucket must not be empty"
+    assert got[0].vec_id == first.vec_id  # the vector itself is its own NN
+    assert got[0].cosine == pytest.approx(1.0, abs=1e-6)

@@ -1,0 +1,285 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash, and n-gram Jaccard — over a ``documents``-shaped table
+(doc_id, text, ...).  Everything except the SimHash bit-voting is pure
+``pyspark.sql.functions`` (JVM, codegen); SimHash uses a vectorized
+pandas/Arrow UDF over pre-hashed (JVM-side) token arrays.
+
+Scale notes (100 TB design point):
+- exact dedup is one shuffle on a 16-byte key (md5 prefix), with map-side
+  combine via min(); at 10^10 docs the key set is what AQE coalesces.
+- MinHash LSH never materializes the O(n^2) pair space: candidates come
+  from equi-joining on (band_idx, band_hash) buckets — a shuffle whose
+  fan-out is bounded by bucket sizes; exact Jaccard verification runs only
+  inside buckets.
+- all shingle/signature arithmetic uses Spark's built-in murmur3/xxhash64,
+  so signatures are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from warcit_spark.functions.text import fingerprint_expr
+
+
+# ---------------------------------------------------------------- exact dedup
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative per normalized-content fingerprint."""
+    fp = fingerprint_expr(F.col(text_col), 32)
+    return (
+        df.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .drop("_fp")
+    )
+
+
+# ------------------------------------------------------------------- shingles
+def word_shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) of lowercased alpha words."""
+    words = F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda w: w != F.lit(""))
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    return F.array_distinct(shingles)
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+# -------------------------------------------------------------------- minhash
+def minhash_signature_expr(shingles: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature: per seed i, min over shingles of murmur3(shingle, i).
+
+    ``F.hash(col, lit(i))`` is Spark's murmur3_x86_32 with the extra column
+    acting as the seed-mix — deterministic, JVM-side, no Python.
+
+    NB: the lambda must be built by a single-argument closure factory — a
+    two-parameter lambda (``lambda s, i: ...``) would be interpreted by
+    PySpark's higher-order functions as the (element, index) form and the
+    seed would silently become the array index.
+    """
+
+    def seeded(i: int):
+        return lambda s: F.hash(s, F.lit(i))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, seeded(i))) for i in range(n_hashes)]
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate PAIRS via banded MinHash LSH, verified with exact
+    shingle Jaccard.  Returns (doc_id_a, doc_id_b, jaccard) with a < b.
+
+    rows-per-band = n_hashes / bands; the usual S-curve: with 32 hashes and
+    8 bands (4 rows/band) the 0.8-Jaccard detection probability is ~0.97.
+    """
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    sigs = docs.withColumn("sig", minhash_signature_expr(F.col("shingles"), n_hashes))
+
+    band_entries = sigs.select(
+        "id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.hash(
+                            *[
+                                F.col("sig")[i]
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "shingles", "band.band_idx", "band.band_hash")
+
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("doc_id_a"),
+            F.col("r.id").alias("doc_id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+
+    verified = candidates.withColumn(
+        "jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b"))
+    ).where(F.col("jaccard") >= jaccard_threshold)
+    return verified.select("doc_id_a", "doc_id_b", "jaccard")
+
+
+# -------------------------------------------------------------------- simhash
+def _simhash_batch(hash_arrays: pd.Series, nbits: int = 64) -> pd.Series:
+    """Bit-vote over per-token 64-bit hashes (numpy per Arrow batch)."""
+    import numpy as np
+
+    out = []
+    for arr in hash_arrays:
+        if arr is None or len(arr) == 0:
+            out.append(0)
+            continue
+        h = np.asarray(arr, dtype=np.uint64)
+        bits = (h[:, None] >> np.arange(nbits, dtype=np.uint64)) & np.uint64(1)
+        votes = bits.sum(axis=0) * 2 > len(h)
+        val = 0
+        for b in np.nonzero(votes)[0]:
+            val |= 1 << int(b)
+        # to signed 64-bit
+        out.append(val - (1 << 64) if val >= (1 << 63) else val)
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — token hashing on the JVM (xxhash64 inside a
+    higher-order transform), bit-voting vectorized in numpy per batch."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda w: w != F.lit("")
+    )
+    token_hashes = F.transform(words, lambda w: F.xxhash64(w))
+    hashed = df.select(
+        F.col(id_col).alias("id"), token_hashes.alias("_th")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf["id"], "simhash": _simhash_batch(pdf["_th"])}
+            )
+
+    return hashed.mapInPandas(fn, "id long, simhash long")
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path: block on 4 x 16-bit sub-bands (pigeonhole: any pair within
+    Hamming<=3 of 64 bits shares at least one exact 16-bit quarter), join
+    per block, verify with popcount — never O(n^2).
+    """
+    sh = simhash(df, text_col, id_col)
+    quarters = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftrightunsigned(F.col("simhash"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qh"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.q", "b.qh")
+
+    l, r = quarters.alias("l"), quarters.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.q") == F.col("r.q"))
+            & (F.col("l.qh") == F.col("r.qh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("doc_id_a"),
+            F.col("r.id").alias("doc_id_b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.withColumn("hamming", hamming).where(
+        F.col("hamming") <= max_hamming
+    ).select("doc_id_a", "doc_id_b", "hamming")
+
+
+# ------------------------------------------------------------- ngram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold via inverted-index join.
+
+    Pairs are generated from shared shingles (an inverted index), so only
+    documents sharing at least one shingle are compared — the standard
+    sparse all-pairs similarity shape, not a cross join.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_expr(F.col(text_col), k).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+
+    inv = docs.select("id", F.explode("shingles").alias("sh"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_id_a"), F.col("b.id").alias("doc_id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = docs.select("id", F.size("shingles").alias("n"))
+    out = (
+        pairs.join(sizes.withColumnRenamed("id", "doc_id_a").withColumnRenamed("n", "na"), "doc_id_a")
+        .join(sizes.withColumnRenamed("id", "doc_id_b").withColumnRenamed("n", "nb"), "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_id_a", "doc_id_b", "jaccard")

@@ -1,0 +1,162 @@
+"""Derived-record generators D1-D3 and the A2 reverse-index aggregation
+(SURVEY.md §2.4-2.5).
+
+- D1 index-revisit derivation lives in plans/crawl.py (derive_fetch_records).
+- D2 conversion fan-out (warcit/warcit.py:568-578): per successful
+  conversion of a written resource, a ``conversion`` record carrying
+  refer-back headers to the original.
+- D3 + A2 transclusion metadata (warcit/warcit.py:580-618,
+  converter.py:240-277): per transclusion of a media url, a ``metadata``
+  record at ``urn:embeds:<contain_url>`` whose payload is the formats
+  reverse-index JSON — **byte-identical** to the reference's
+  ``json.dumps(..., indent=2, sort_keys=True)`` (asserted by the
+  reference's own test, test/test_warcit.py:326-327).
+
+Plan shape: the grouping/joining is pure DataFrame (broadcast equi-joins +
+``collect_list`` aggregation); only the final JSON serialization is a
+vectorized pandas UDF, because byte-exact ``indent=2, sort_keys=True``
+output with null-key omission is a serialization format, not a relational
+computation (SURVEY.md §2.4 A2).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from warcit_spark.functions.timestamps import normalize_ts14_expr
+
+TRANSCLUSION_CONTENT_TYPE = "application/vnd.youtube-dl_formats+json"
+
+
+def conversion_records(resources: DataFrame, conversions: DataFrame) -> DataFrame:
+    """D2: one derived record per successful conversion of a resource.
+
+    ``resources`` needs (url, record_id, warc_date); output carries the
+    refer-back headers of warcit/warcit.py:569-576.
+    """
+    conv = conversions.where(F.col("success")).select(
+        F.col("source_url").alias("url"),
+        F.col("url").alias("conv_url"),
+        F.col("output").alias("conv_output"),
+        F.col("metadata").alias("conv_metadata"),
+    )
+    joined = resources.join(F.broadcast(conv), on="url", how="inner")
+    return joined.select(
+        F.col("conv_url").alias("url"),
+        F.lit("conversion").alias("record_type"),
+        F.col("record_id").alias("refers_to"),
+        F.col("url").alias("refers_to_target_uri"),
+        F.col("warc_date").alias("refers_to_target_date"),
+        F.to_json(F.col("conv_metadata")).alias("json_metadata"),
+        F.col("conv_output").alias("source_path"),
+    )
+
+
+def _formats_json_batch(
+    contain_url: pd.Series,
+    contain_ts: pd.Series,
+    selector: pd.Series,
+    media_url: pd.Series,
+    orig_mime: pd.Series,
+    formats: pd.Series,
+) -> pd.Series:
+    """Byte-exact reference JSON (converter.py:250-276 + warcit.py:589).
+
+    ``formats`` arrives as a list of dict-like structs (converted formats,
+    reference order); the original format dict is appended last with
+    ``ext = url.rsplit('.')[-1]`` and optional ``mime``.
+    """
+
+    def build(cu, ts, sel, mu, mime, fmts):
+        md = {"webpage_url": cu, "webpage_timestamp": str(ts)}
+        if sel is not None:
+            md["selector"] = sel
+        out_formats = []
+        for f in fmts if fmts is not None else []:
+            d = {k: v for k, v in dict(f).items() if v is not None}
+            d["url"] = d.pop("conv_url", d.get("url"))
+            d["original_url"] = mu
+            out_formats.append(d)
+        orig = {"url": mu, "ext": mu.rsplit(".")[-1], "original": True}
+        if mime is not None:
+            orig["mime"] = mime
+        out_formats.append(orig)
+        md["formats"] = out_formats
+        return json.dumps(md, indent=2, sort_keys=True)
+
+    return pd.Series(
+        [
+            build(*args)
+            for args in zip(
+                contain_url, contain_ts, selector, media_url, orig_mime, formats
+            )
+        ]
+    )
+
+
+def transclusion_metadata_records(
+    transclusions: DataFrame,
+    conversions: DataFrame | None = None,
+    orig_mime_col: str | None = None,
+) -> DataFrame:
+    """D3+A2: one ``metadata`` record per transclusion entry.
+
+    ``transclusions``: (media_url, contain_url, contain_ts, selector) [+
+    optionally a resolved ``orig_mime`` column].  ``conversions`` feeds the
+    formats list (A3 grouping, converter.py:257-267).
+    """
+    tr = transclusions.where(F.col("contain_url").isNotNull())
+
+    if conversions is not None:
+        conv_lists = (
+            conversions.where(F.col("success"))
+            .groupBy(F.col("source_url").alias("media_url"))
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        F.col("metadata.name").alias("name"),
+                        F.col("metadata.ext").alias("ext"),
+                        F.col("metadata.command").alias("command"),
+                        F.col("metadata.mime").alias("mime"),
+                        F.col("metadata.skip_as_source").alias("skip_as_source"),
+                        F.col("url").alias("conv_url"),
+                    )
+                ).alias("_formats")
+            )
+        )
+        tr = tr.join(F.broadcast(conv_lists), on="media_url", how="left")
+    else:
+        tr = tr.withColumn(
+            "_formats",
+            F.lit(None).cast(
+                "array<struct<name:string,ext:string,command:string,"
+                "mime:string,skip_as_source:boolean,conv_url:string>>"
+            ),
+        )
+
+    orig_mime = (
+        F.col(orig_mime_col) if orig_mime_col else F.lit(None).cast("string")
+    )
+    # pandas_udf is built lazily (needs an active session at wrap time)
+    _formats_json_udf = pandas_udf(_formats_json_batch, "string")
+    payload = _formats_json_udf(
+        F.col("contain_url"),
+        F.col("contain_ts"),
+        F.col("selector"),
+        F.col("media_url"),
+        orig_mime,
+        F.col("_formats"),
+    )
+    return tr.select(
+        F.concat(F.lit("urn:embeds:"), F.col("contain_url")).alias("url"),
+        F.lit("metadata").alias("record_type"),
+        normalize_ts14_expr(F.col("contain_ts")).alias("warc_date"),
+        F.lit(TRANSCLUSION_CONTENT_TYPE).alias("content_type"),
+        payload.alias("payload_json"),
+        F.col("media_url").alias("refers_to_target_uri"),
+    )

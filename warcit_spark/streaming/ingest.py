@@ -1,0 +1,72 @@
+"""Structured Streaming ingest of pages (SURVEY.md §2.9).
+
+The reference is single-pass batch and the crawl loop is iterative batch;
+streaming enters when pages arrive continuously (a live fetcher writing
+parquet).  This module gives that path: a file-source stream over the
+pages directory, watermarked event-time windowed per-host counts (the
+streaming analog of the lineage counters), written with exactly-once file
+sinks + checkpoints — the Structured-Streaming mirror of the engine's
+atomic round commits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warcit_spark.functions.urls import host_expr
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def host_window_counts(
+    pages: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-host tumbling-window page counts with late-data watermarking."""
+    return (
+        pages.withColumn("host", host_expr(F.col("url")))
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("host"))
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.length("html")).alias("bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "pages",
+            "bytes",
+        )
+    )
+
+
+def start_ingest(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    window: str = "1 hour",
+):
+    """Start the windowed ingest query (append mode, exactly-once sink)."""
+    stream = read_pages_stream(spark, src_path)
+    counts = host_window_counts(stream, window=window)
+    return (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
