@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl slice (canonicalize -> robots ->
+politeness -> fetch-oracle join -> record derivation) over a pages table
+synthesized deterministically from sf0.001 ``documents``.
+
+``queries()`` exposes each implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operators) as a named DataFrame query over the
+TPC-H-ish tables; ``oracle_sql()`` carries the DuckDB twin for every
+SQL-expressible one.  Columns are aliased identically on both sides; money
+aggregates use DECIMAL casts so sums are order-independent and hash-stable
+across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +17,883 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =========================================================================
+# entry: flagship crawl slice on sf0.001
+# =========================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from warcit_spark.plans.crawl import (
+        CrawlConfig,
+        canonical_seed_frontier,
+        derive_fetch_records,
+        _mime_dim,
+    )
+    from warcit_spark.plans.politeness import politeness_select
+    from warcit_spark.operators.robots import apply_robots
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    pages = _pages_from_documents(docs)
+
+    seeds = spark.range(7).select(
+        F.concat(
+            F.lit("HTTP://Docs"), F.col("id"), F.lit(".TEST:80/dir0/index.html#top")
+        ).alias("url"),
+        (F.lit(1.0) - F.col("id") * 0.1).alias("priority"),
+    )
+    robots = spark.createDataFrame(
+        [("docs3.test", "/", False, 1.0)],
+        "host string, path_prefix string, allow boolean, crawl_delay double",
+    )
+
+    frontier = canonical_seed_frontier(seeds)
+    with_rules = apply_robots(frontier, robots)
+    allowed = with_rules.where(F.col("allowed"))
+    selected = politeness_select(allowed, host_budget=50, n_salt=4)
+    fetched = (
+        selected.join(
+            pages.withColumnRenamed("url", "_purl"),
+            selected["url"] == F.col("_purl"),
+            "left",
+        )
+        .drop("_purl")
+        .select(
+            F.lit(0).alias("round"),
+            "url",
+            "host",
+            "priority",
+            "rank_in_host",
+            "warc_ts",
+            "html",
+            F.col("warc_ts").isNotNull().alias("fetched"),
+            F.when(F.col("warc_ts").isNotNull(), F.lit("fetched"))
+            .otherwise(F.lit("missing"))
+            .alias("reason"),
+        )
+    )
+    return derive_fetch_records(fetched, _mime_dim(spark), ("/index.html",))
+
+
+def _pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic pages(url, warc_ts, html, text, lang) from documents."""
+    host = F.concat(F.lit("docs"), F.col("doc_id") % 7, F.lit(".test"))
+    d = (F.col("doc_id") / 10).cast("long")
+    path = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit("/dir"), d, F.lit("/index.html")),
+    ).otherwise(F.concat(F.lit("/dir"), d, F.lit("/page"), F.col("doc_id"), F.lit(".html")))
+    url = F.concat(F.lit("http://"), host, path)
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+    )
+    epoch = F.lit(1356998400) + (F.col("doc_id") * 86381) % F.lit(157766400)
+    return docs.select(
+        url.alias("url"),
+        F.to_timestamp(F.from_unixtime(epoch)).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+# =========================================================================
+# queries  (each: (spark, sf_dir) -> DataFrame)
+# =========================================================================
+def q1_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(disc.cast("decimal(18,4)")).alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,6)")).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev.cast("decimal(18,4)")).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def f1_include_exclude(spark, sf_dir):
+    from warcit_spark.operators.filters import include_exclude_expr
+
+    p = _t(spark, sf_dir, "part")
+    keep = include_exclude_expr(
+        F.col("p_type"), ["*economy*"], ["*economy*", "*promo*", "*standard*"]
+    )
+    return (
+        p.where(keep)
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("p_type")
+    )
+
+
+def f2_url_synthesis(spark, sf_dir):
+    from warcit_spark.functions.urls import synth_url_expr
+
+    p = _t(spark, sf_dir, "part")
+    relpath = F.concat(F.col("p_brand"), F.lit("/"), F.col("p_name"), F.lit(".html"))
+    return p.select(
+        "p_partkey", synth_url_expr("http://parts.test/", relpath).alias("url")
+    )
+
+
+def f3_mime_chain(spark, sf_dir):
+    from warcit_spark.functions.mime import guess_mime_expr, url_extension_expr
+
+    p = _t(spark, sf_dir, "part")
+    ext = (
+        F.when(F.col("p_size") % 4 == 0, ".html")
+        .when(F.col("p_size") % 4 == 1, ".css")
+        .when(F.col("p_size") % 4 == 2, ".js")
+        .otherwise(".zzz")
+    )
+    url = F.concat(
+        F.lit("http://m.test/"), F.replace(F.col("p_name"), F.lit(" "), F.lit("_")), ext
+    )
+    mapfile_ct = F.when(
+        F.col("p_partkey") % 10 == 0, F.lit("application/x-map; charset=utf-8")
+    )
+    override = F.when(F.col("p_brand") == "Brand#1", F.lit("application/x-ovr"))
+    e = url_extension_expr(url)
+    guessed = (
+        F.when(e == ".html", "text/html")
+        .when(e == ".css", "text/css")
+        .when(e == ".js", "text/javascript")
+    )
+    return p.select(
+        "p_partkey",
+        guess_mime_expr(mapfile_ct, override, guessed).alias("mime"),
+    )
+
+
+def f6_ts_normalize(spark, sf_dir):
+    from warcit_spark.functions.timestamps import normalize_ts14_expr
+
+    e = _t(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 4 == 0, F.date_format("ts", "yyyyMMddHHmmss"))
+        .when(F.col("event_id") % 4 == 1, F.date_format("ts", "yyyy-MM"))
+        .when(F.col("event_id") % 4 == 2, F.date_format("ts", "yyyy"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm"))
+    )
+    return e.select("event_id", normalize_ts14_expr(raw).alias("iso"))
+
+
+def f7_json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k > 50, 1)).alias("n_big"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def crawl_canonicalize(spark, sf_dir):
+    from warcit_spark.functions.urls import canonicalize_url_expr
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTP://Docs"),
+        F.col("doc_id") % 7,
+        F.lit(".TEST:80/p"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+    return d.select("doc_id", canonicalize_url_expr(messy).alias("canonical_url"))
+
+
+def crawl_host_counts(spark, sf_dir):
+    from warcit_spark.functions.urls import canonicalize_url_expr, host_expr
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTP://Docs"), F.col("doc_id") % 7, F.lit(".TEST:80/p"), F.col("doc_id")
+    )
+    url = canonicalize_url_expr(messy)
+    return (
+        d.select(host_expr(url).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+        .orderBy("host")
+    )
+
+
+def j1_suffix_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    suffixes = spark.createDataFrame(
+        [("ECONOMY",), ("MEDIUM",), ("SMALL",), ("PROMO",), ("LARGE",), ("STANDARD",)],
+        ["suffix"],
+    )
+    joined = p.join(
+        F.broadcast(suffixes), F.col("p_type").startswith(F.col("suffix")), "inner"
+    )
+    return joined.groupBy("suffix").agg(F.count("*").alias("n_parts")).orderBy("suffix")
+
+
+def j2_broadcast_equi_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def j4_equi_join_pushdown(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") > 25)
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def j5_anti_join_seen(spark, sf_dir):
+    # the seen-set shape: customers with no 'F'-status order yet (the
+    # filter guarantees a non-empty result at every sf)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def j5b_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def d1_revisit_derivation(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    dirno = (F.col("doc_id") / 10).cast("long")
+    url = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit("http://docs.test/dir"), dirno, F.lit("/index.html")),
+    ).otherwise(
+        F.concat(F.lit("http://docs.test/dir"), dirno, F.lit("/page"), F.col("doc_id"), F.lit(".html"))
+    )
+    resources = d.select(
+        url.alias("url"), F.lit("resource").alias("record_type")
+    )
+    revisits = resources.where(
+        F.lower(F.col("url")).endswith("/index.html")
+    ).select(
+        F.regexp_replace(F.col("url"), "[^/]+$", "").alias("url"),
+        F.lit("revisit").alias("record_type"),
+    )
+    return resources.unionByName(revisits)
+
+
+def a2_reverse_index(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("order_keys"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def a3_rollup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def a4_distinct_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def a5_pivot_manual(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_linestatus")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("l_returnflag") == flag, F.col("l_quantity")).cast(
+                        "decimal(18,2)"
+                    )
+                ).alias(f"qty_{flag}")
+                for flag in ("A", "N", "R")
+            ]
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def w1_politeness_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rank_in_user", F.row_number().over(w))
+        .where(F.col("rank_in_user") <= 3)
+        .select("user_id", "event_id", "rank_in_user")
+        .orderBy("user_id", "rank_in_user")
+    )
+
+
+def w2_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap > 1800, 1).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg((F.sum("new_session") + 1).alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def w3_tumbling_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def t1_token_count(spark, sf_dir):
+    from warcit_spark.functions.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
+
+
+def t2_quality_score(spark, sf_dir):
+    from warcit_spark.functions.text import (
+        punct_ratio_expr,
+        stopword_ratio_expr,
+        quality_score_expr,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(stopword_ratio_expr(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(punct_ratio_expr(F.col("text")), 6).alias("punct_ratio"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    )
+
+
+def t3_lang_id(spark, sf_dir):
+    from warcit_spark.functions.text import lang_id_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id_expr(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def t4_exact_dedup(spark, sf_dir):
+    from warcit_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).orderBy("doc_id")
+
+
+def t5_ngram_jaccard(spark, sf_dir):
+    from warcit_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    return out.select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+def x1_minhash_lsh(spark, sf_dir):
+    from warcit_spark.operators.dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = minhash_lsh_dedup(d, jaccard_threshold=0.5)
+    return out.select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+def x2_simhash(spark, sf_dir):
+    from warcit_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return simhash(d).orderBy("id")
+
+
+def ann1_cosine_topk(spark, sf_dir):
+    from warcit_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = list(emb.where(F.col("vec_id") == 0).first().embedding)
+    return cosine_topk(emb, q, k=10)
+
+
+def ann2_embedding_neardup(spark, sf_dir):
+    from warcit_spark.operators.similarity import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= 0.35)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def x3_lsh_ann(spark, sf_dir):
+    from warcit_spark.operators.similarity import lsh_bucket_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = list(emb.where(F.col("vec_id") == 0).first().embedding)
+    return lsh_bucket_ann(emb, q, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "f1_include_exclude": f1_include_exclude,
+        "f2_url_synthesis": f2_url_synthesis,
+        "f3_mime_chain": f3_mime_chain,
+        "f6_ts_normalize": f6_ts_normalize,
+        "f7_json_extract": f7_json_extract,
+        "crawl_canonicalize": crawl_canonicalize,
+        "crawl_host_counts": crawl_host_counts,
+        "j1_suffix_join": j1_suffix_join,
+        "j2_broadcast_equi_join": j2_broadcast_equi_join,
+        "j4_equi_join_pushdown": j4_equi_join_pushdown,
+        "j5_anti_join_seen": j5_anti_join_seen,
+        "j5b_semi_join": j5b_semi_join,
+        "d1_revisit_derivation": d1_revisit_derivation,
+        "a2_reverse_index": a2_reverse_index,
+        "a3_rollup": a3_rollup,
+        "a4_distinct_agg": a4_distinct_agg,
+        "a5_pivot_manual": a5_pivot_manual,
+        "w1_politeness_topk": w1_politeness_topk,
+        "w2_sessionize": w2_sessionize,
+        "w3_tumbling_window": w3_tumbling_window,
+        "t1_token_count": t1_token_count,
+        "t2_quality_score": t2_quality_score,
+        "t3_lang_id": t3_lang_id,
+        "t4_exact_dedup": t4_exact_dedup,
+        "t5_ngram_jaccard": t5_ngram_jaccard,
+        "x1_minhash_lsh": x1_minhash_lsh,
+        "x2_simhash": x2_simhash,
+        "ann1_cosine_topk": ann1_cosine_topk,
+        "ann2_embedding_neardup": ann2_embedding_neardup,
+        "x3_lsh_ann": x3_lsh_ann,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# =========================================================================
+# oracle SQL (DuckDB) — same aliases, same values
+# =========================================================================
+_EN_STOPWORDS_SQL = (
+    "['the','and','of','to','a','in','is','it','that','for',"
+    "'on','with','as','was','at','by','this','be','are','or']"
+)
+
+_WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> '')"
+_WORDS09_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+# NB: the single quote is doubled for embedding in a single-quoted SQL literal
+_PUNCT_SQL = r"""[.,!?;:''"()\[\]{}<>-]"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                   sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+                   sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "f1_include_exclude": """
+            SELECT p_type, count(*) AS n_parts
+            FROM part
+            WHERE (lower(p_type) LIKE '%economy%')
+               OR NOT (lower(p_type) LIKE '%economy%'
+                       OR lower(p_type) LIKE '%promo%'
+                       OR lower(p_type) LIKE '%standard%')
+            GROUP BY p_type
+        """,
+        "f2_url_synthesis": """
+            SELECT p_partkey,
+                   'http://parts.test/' ||
+                   replace(replace(p_brand || '/' || p_name || '.html',
+                           ' ', '%20'), '#', '%23') AS url
+            FROM part
+        """,
+        "f3_mime_chain": """
+            SELECT p_partkey,
+                   CASE
+                     WHEN p_partkey % 10 = 0 THEN 'application/x-map'
+                     WHEN p_brand = 'Brand#1' THEN 'application/x-ovr'
+                     WHEN p_size % 4 = 0 THEN 'text/html'
+                     WHEN p_size % 4 = 1 THEN 'text/css'
+                     WHEN p_size % 4 = 2 THEN 'text/javascript'
+                     ELSE 'text/html'
+                   END AS mime
+            FROM part
+        """,
+        "f6_ts_normalize": """
+            WITH d AS (
+              SELECT event_id,
+                     CASE CAST(event_id % 4 AS INT)
+                       WHEN 0 THEN strftime(ts, '%Y%m%d%H%M%S')
+                       WHEN 1 THEN strftime(ts, '%Y-%m')
+                       WHEN 2 THEN strftime(ts, '%Y')
+                       ELSE strftime(ts, '%Y-%m-%d %H:%M')
+                     END AS raw
+              FROM events),
+            n AS (SELECT event_id, regexp_replace(raw, '[^0-9]', '', 'g') AS digits FROM d),
+            p AS (SELECT event_id,
+                         substr(digits || substr('10000101000000', length(digits)+1), 1, 14) AS p14
+                  FROM n)
+            SELECT event_id,
+                   strftime(try_strptime(p14, '%Y%m%d%H%M%S'), '%Y-%m-%dT%H:%M:%SZ') AS iso
+            FROM p
+        """,
+        "f7_json_extract": """
+            SELECT event_type,
+                   sum(CAST(props->>'$.k' AS INT)) AS sum_k,
+                   count(CASE WHEN CAST(props->>'$.k' AS INT) > 50 THEN 1 END) AS n_big
+            FROM events
+            GROUP BY event_type
+        """,
+        "crawl_canonicalize": """
+            SELECT doc_id,
+                   'http://docs' || (doc_id % 7) || '.test/p' || doc_id ||
+                   CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS canonical_url
+            FROM documents
+        """,
+        "crawl_host_counts": """
+            SELECT 'docs' || (doc_id % 7) || '.test' AS host, count(*) AS n_urls
+            FROM documents
+            GROUP BY 1
+        """,
+        "j1_suffix_join": """
+            SELECT s.suffix, count(*) AS n_parts
+            FROM part p
+            JOIN (SELECT unnest(['ECONOMY','MEDIUM','SMALL','PROMO','LARGE','STANDARD']) AS suffix) s
+              ON p.p_type LIKE s.suffix || '%'
+            GROUP BY s.suffix
+        """,
+        "j2_broadcast_equi_join": """
+            SELECT c_mktsegment,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "j4_equi_join_pushdown": """
+            SELECT p_brand,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size > 25
+            GROUP BY p_brand
+        """,
+        "j5_anti_join_seen": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        """,
+        "j5b_semi_join": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+            GROUP BY c_mktsegment
+        """,
+        "d1_revisit_derivation": """
+            WITH res AS (
+              SELECT CASE WHEN doc_id % 10 = 0
+                       THEN 'http://docs.test/dir' || (doc_id // 10) || '/index.html'
+                       ELSE 'http://docs.test/dir' || (doc_id // 10) || '/page' || doc_id || '.html'
+                     END AS url,
+                     'resource' AS record_type
+              FROM documents)
+            SELECT url, record_type FROM res
+            UNION ALL
+            SELECT regexp_replace(url, '[^/]+$', '') AS url, 'revisit' AS record_type
+            FROM res WHERE lower(url) LIKE '%/index.html'
+        """,
+        "a2_reverse_index": """
+            SELECT o_custkey,
+                   string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY o_custkey
+        """,
+        "a3_rollup": """
+            SELECT r_name, n_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "a4_distinct_agg": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY event_type
+        """,
+        "a5_pivot_manual": """
+            SELECT l_linestatus,
+                   sum(CAST(CASE WHEN l_returnflag='A' THEN l_quantity END AS DECIMAL(18,2))) AS qty_A,
+                   sum(CAST(CASE WHEN l_returnflag='N' THEN l_quantity END AS DECIMAL(18,2))) AS qty_N,
+                   sum(CAST(CASE WHEN l_returnflag='R' THEN l_quantity END AS DECIMAL(18,2))) AS qty_R
+            FROM lineitem
+            GROUP BY l_linestatus
+        """,
+        "w1_politeness_topk": """
+            SELECT user_id, event_id, rank_in_user FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC) AS rank_in_user
+              FROM events) t
+            WHERE rank_in_user <= 3
+        """,
+        "w2_sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events)
+            SELECT user_id,
+                   sum(new_session) + 1 AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "w3_tumbling_window": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "t1_token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "t2_quality_score": f"""
+            WITH b AS (
+              SELECT doc_id, text,
+                     {_WORDS_SQL} AS words,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+                     len(text) AS nch,
+                     len(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS nch_nopunct
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) > 0
+                          THEN CAST(len(list_filter(words, w -> list_contains({_EN_STOPWORDS_SQL}, w))) AS DOUBLE) / len(words)
+                          ELSE 0.0 END AS sw_ratio,
+                     CASE WHEN nch > 0
+                          THEN CAST(nch - nch_nopunct AS DOUBLE) / nch
+                          ELSE 0.0 END AS p_ratio,
+                     ntok
+              FROM b)
+            SELECT doc_id,
+                   round(sw_ratio, 6) AS stopword_ratio,
+                   round(p_ratio, 6) AS punct_ratio,
+                   round(least(1.0, CAST(ntok AS DOUBLE)/100.0)
+                         * least(1.0, 4.0*sw_ratio)
+                         * (1.0 - p_ratio), 6) AS quality
+            FROM r
+        """,
+        "t3_lang_id": f"""
+            WITH b AS (
+              SELECT lang, {_WORDS_SQL} AS words FROM documents),
+            p AS (
+              SELECT lang,
+                     CASE WHEN len(words) > 0 AND
+                               CAST(len(list_filter(words, w -> list_contains({_EN_STOPWORDS_SQL}, w))) AS DOUBLE) / len(words) >= 0.08
+                          THEN 'en' ELSE 'unknown' END AS predicted
+              FROM b)
+            SELECT lang, predicted, count(*) AS n_docs
+            FROM p GROUP BY lang, predicted
+        """,
+        "t4_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM (SELECT doc_id,
+                         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+                  FROM documents)
+            GROUP BY fp
+        """,
+        "t5_ngram_jaccard": f"""
+            WITH w AS (
+              SELECT doc_id, {_WORDS09_SQL} AS ws
+              FROM documents WHERE doc_id < 200),
+            s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(ws)-2, 1)),
+                       i -> array_to_string(ws[i:i+2], ' '))) AS shingles
+              FROM w WHERE len(ws) > 0),
+            inv AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+              FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sz AS (SELECT doc_id, len(shingles) AS n FROM s)
+            SELECT doc_id_a, doc_id_b,
+                   round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM pairs
+            JOIN sz sa ON sa.doc_id = doc_id_a
+            JOIN sz sb ON sb.doc_id = doc_id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        """,
+        "ann1_cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "ann2_embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 200 AND b.vec_id < 200
+              AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        """,
+        # x1_minhash_lsh, x2_simhash, x3_lsh_ann: murmur3/xxhash64-seeded
+        # signatures are not expressible in DuckDB SQL -> rows-only check.
+    }

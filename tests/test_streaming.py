@@ -1,0 +1,54 @@
+"""Structured Streaming ingest: windowed per-host counts over a file
+stream, checked against the equivalent batch aggregation."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from warcit_spark.sources.fixture import generate_pages
+from warcit_spark.streaming.ingest import host_window_counts, read_pages_stream
+
+
+def test_stream_counts_match_batch(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+
+    pages = generate_pages(spark, 200)
+    pages.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = read_pages_stream(spark, src)
+    assert stream.isStreaming
+    counts = host_window_counts(stream, window="6 hours", watermark="1 hour")
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = (
+        spark.read.parquet(src)
+        .withColumn("host", F.lower(F.try_parse_url("url", F.lit("HOST"))))
+        .groupBy(F.window("warc_ts", "6 hours").alias("w"), "host")
+        .agg(F.count("*").alias("pages"), F.sum(F.length("html")).alias("bytes"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "pages",
+            "bytes",
+        )
+    )
+    # append-mode emits only windows the watermark has closed; every emitted
+    # row must match the batch result exactly, and most windows must emit
+    got_set = {tuple(r) for r in got.collect()}
+    batch_set = {tuple(r) for r in batch.collect()}
+    assert got_set <= batch_set
+    assert len(got_set) >= len(batch_set) * 0.5

@@ -171,7 +171,9 @@ def crawl_round(
     selected = politeness_select(
         allowed, cfg.host_budget, n_salt=cfg.n_salt
     ).persist()
-    deferred = allowed.join(selected.select("url"), on="url", how="left_anti")
+    deferred = allowed.join(
+        selected.select("url"), on="url", how="left_anti"
+    ).persist()
 
     # ---- fetch: J4 against the pages oracle --------------------------------
     fetched = (
@@ -213,10 +215,11 @@ def crawl_round(
         canonicalize_url_expr(F.col("link")).alias("url"),
         (F.col("priority") * cfg.link_decay).alias("priority"),
     )
-    candidates = candidates.withColumn("host", host_expr(F.col("url"))).where(
-        F.col("host").isNotNull()
+    candidates = (
+        candidates.withColumn("host", host_expr(F.col("url")))
+        .where(F.col("host").isNotNull())
+        .persist()
     )
-    n_links = candidates.count()
 
     # within-round dedup: deterministic max-priority per url
     deduped = candidates.groupBy("url").agg(
@@ -244,10 +247,11 @@ def crawl_round(
         .select(
             "url", "host", "priority", F.lit(round_id + 1).alias("round_added")
         )
+        .persist()
     )
     next_frontier = deferred.select(
         "url", "host", "priority", "round_added"
-    ).unionByName(new_urls).withColumn("round", F.lit(round_id + 1)).persist()
+    ).unionByName(new_urls).withColumn("round", F.lit(round_id + 1))
 
     # ---- lineage (content-defined partitions, stable across cluster sizes) -
     P = cfg.n_lineage_partitions
@@ -273,41 +277,41 @@ def crawl_round(
                 "new_urls",
             )
         ],
-    ).withColumn(
-        "dupes_dropped",
-        F.lit(None).cast("long"),  # filled below from global counts
     )
+
+    # ---- one action computes the whole round ------------------------------
+    # Collecting the (<= P-row) lineage frame materializes every persisted
+    # intermediate exactly once; the delta writes below reuse the caches.
+    # This keeps the round at one driver action + four writes instead of a
+    # count() per metric.
+    lin_rows = lineage.collect()
+
+    def _sum(col: str) -> int:
+        return int(sum(r[col] for r in lin_rows))
+
+    n_links, n_new = _sum("links_found"), _sum("new_urls")
+    summary = {
+        "urls_in": _sum("urls_in"),
+        "robots_denied": _sum("robots_denied"),
+        "urls_emitted": _sum("urls_emitted"),
+        "links_found": n_links,
+        "new_urls": n_new,
+        "dupes_dropped": n_links - n_new,
+        "frontier_next": _sum("deferred") + n_new,
+    }
 
     # ---- writes (deltas first, marker last = atomic commit) ----------------
     state.write_delta(seen_delta, "seen", round_id)
     state.write_delta(records, "fetched", round_id)
     state.write_delta(next_frontier, "frontier", round_id + 1)
-
-    n_selected = selected.count()
-    n_denied = denied.count()
-    n_new = new_urls.count()
-    n_deduped = deduped.count()
-    n_next = next_frontier.count()
-    lineage = lineage.withColumn(
+    lineage_out = spark.createDataFrame(lin_rows, lineage.schema).withColumn(
         "dupes_dropped", F.lit(n_links - n_new).cast("long")
     )
-    state.write_delta(lineage, "lineage", round_id)
-
-    summary = {
-        "urls_in": n_frontier,
-        "robots_denied": n_denied,
-        "urls_emitted": n_selected,
-        "links_found": n_links,
-        "links_deduped": n_deduped,
-        "new_urls": n_new,
-        "frontier_next": n_next,
-    }
+    state.write_delta(lineage_out, "lineage", round_id)
     state.commit_round(round_id, summary)
 
-    frontier.unpersist()
-    selected.unpersist()
-    fetched.unpersist()
-    next_frontier.unpersist()
+    for df in (frontier, selected, deferred, fetched, candidates, new_urls):
+        df.unpersist()
     return summary
 
 
