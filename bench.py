@@ -42,9 +42,11 @@ HEADLINE = [
     "crawl_canonicalize",
 ]
 
-CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
 CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
-CRAWL_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "4000"))
+CRAWL_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2000"))
+CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "64"))
+CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "50000"))
 
 
 def _force(df) -> None:
@@ -70,12 +72,13 @@ def bench_crawl(spark) -> dict:
     from warcit_spark.sources.fixture import (
         generate_pages,
         generate_robots,
-        generate_seeds,
+        generate_seed_sample,
     )
 
-    pages = generate_pages(spark, CRAWL_PAGES).persist()
+    pages = generate_pages(spark, CRAWL_PAGES, n_hosts=CRAWL_HOSTS).persist()
     pages.count()  # materialize outside the timed section
-    seeds, robots = generate_seeds(spark), generate_robots(spark)
+    seeds = generate_seed_sample(spark, CRAWL_PAGES, CRAWL_SEEDS, CRAWL_HOSTS)
+    robots = generate_robots(spark)
     root = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
         cfg = CrawlConfig(

@@ -24,19 +24,22 @@ sys.path.insert(0, {repo!r})
 from warcit_spark import get_spark
 from warcit_spark.plans.crawl import CrawlConfig, run_crawl
 from warcit_spark.plans.state import CrawlState
-from warcit_spark.sources.fixture import generate_pages, generate_robots, generate_seeds
+from warcit_spark.sources.fixture import (
+    generate_pages, generate_robots, generate_seed_sample)
 
 cpus = {cpus}
+n_hosts = {n_hosts}
 spark = get_spark("scaling-bench", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8))
 spark.sparkContext.setLogLevel("ERROR")
-pages = generate_pages(spark, {n_pages}).persist()
+pages = generate_pages(spark, {n_pages}, n_hosts=n_hosts).persist()
 pages.count()
 root = tempfile.mkdtemp(prefix="scalebench_")
 try:
     cfg = CrawlConfig(host_budget={budget}, max_rounds={rounds}, n_salt=16)
     t0 = time.perf_counter()
     summaries = run_crawl(spark, CrawlState(root), pages,
-                          generate_seeds(spark), generate_robots(spark), cfg)
+                          generate_seed_sample(spark, {n_pages}, {n_seeds}, n_hosts),
+                          generate_robots(spark), cfg)
     wall = time.perf_counter() - t0
     urls = sum(s.get("urls_emitted", 0) for s in summaries)
     print("RESULT " + json.dumps({{"cpus": cpus, "wall_sec": round(wall, 3),
@@ -48,8 +51,15 @@ finally:
 """
 
 
+N_HOSTS = 64
+N_SEEDS = 50_000
+
+
 def run_level(cpus: int, n_pages: int, rounds: int, budget: int) -> dict:
-    code = CHILD.format(repo=REPO, cpus=cpus, n_pages=n_pages, rounds=rounds, budget=budget)
+    code = CHILD.format(
+        repo=REPO, cpus=cpus, n_pages=n_pages, rounds=rounds, budget=budget,
+        n_hosts=N_HOSTS, n_seeds=N_SEEDS,
+    )
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
     )
@@ -62,15 +72,17 @@ def run_level(cpus: int, n_pages: int, rounds: int, budget: int) -> dict:
 
 
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    budget = int(sys.argv[3]) if len(sys.argv) > 3 else 4000
+    budget = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
 
     lo = run_level(8, n_pages, rounds, budget)
     hi = run_level(32, n_pages, rounds, budget)
     eff = round((hi["urls_per_sec"] / lo["urls_per_sec"]) / 4, 3)
     out = {
         "n_pages": n_pages,
+        "n_hosts": N_HOSTS,
+        "n_seeds": N_SEEDS,
         "rounds": rounds,
         "host_budget": budget,
         "local8": lo,

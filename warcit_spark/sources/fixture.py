@@ -61,18 +61,36 @@ def extract_text_expr(html_str: Column) -> Column:
     return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
 
 
-def generate_pages(spark: SparkSession, n_pages: int) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) — BASELINE.json input_hint shape."""
-    n_pages = max(40, (n_pages // N_HOST_SLOTS) * N_HOST_SLOTS)
-    ids = spark.range(n_pages)
+def _page_coords(n_pages: int, n_hosts: int):
+    """(host_idx, within-host index j, safe link-target bound) exprs of id.
+
+    Host 0 is the hot host (~60% of ids); the remaining 40% spread evenly
+    over hosts 1..n_hosts-1.  j is contiguous per host, so every link
+    target below the safe bound exists on every host.
+    """
     m = F.col("id") % N_HOST_SLOTS
+    cold = (F.col("id") / N_HOST_SLOTS).cast("long") * (
+        N_HOST_SLOTS - HOT_SHARE_SLOTS
+    ) + (m - HOT_SHARE_SLOTS)
     h = F.when(m < HOT_SHARE_SLOTS, F.lit(0)).otherwise(
-        (m - HOT_SHARE_SLOTS + 1).cast("int")
+        (cold % (n_hosts - 1) + 1).cast("int")
     )
     j = F.when(
         m < HOT_SHARE_SLOTS,
         (F.col("id") / N_HOST_SLOTS).cast("long") * HOT_SHARE_SLOTS + m,
-    ).otherwise((F.col("id") / N_HOST_SLOTS).cast("long"))
+    ).otherwise((cold / (n_hosts - 1)).cast("long"))
+    n_cold_pages = (n_pages // N_HOST_SLOTS) * (N_HOST_SLOTS - HOT_SHARE_SLOTS)
+    n_safe = max(1, n_cold_pages // max(1, n_hosts - 1) - 1)
+    return h, j, n_safe
+
+
+def generate_pages(
+    spark: SparkSession, n_pages: int, n_hosts: int = N_HOSTS
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) — BASELINE.json input_hint shape."""
+    n_pages = max(40, (n_pages // N_HOST_SLOTS) * N_HOST_SLOTS)
+    ids = spark.range(n_pages)
+    h, j, n_safe = _page_coords(n_pages, n_hosts)
 
     host = host_name_expr(h)
     path = _page_path_expr(j)
@@ -82,7 +100,6 @@ def generate_pages(spark: SparkSession, n_pages: int) -> DataFrame:
 
     # link targets stay inside [0, n_safe) so every non-dangling target
     # exists on every host regardless of host size
-    n_safe = max(1, n_pages // N_HOST_SLOTS - 1)
     t1 = (j + 1) % n_safe
     t2 = (j * 3 + 7) % n_safe
     link1 = F.concat(F.lit("http://"), host, _page_path_expr(t1))
@@ -90,7 +107,7 @@ def generate_pages(spark: SparkSession, n_pages: int) -> DataFrame:
     up = F.concat(F.lit("http://"), host, F.lit("/dir"), d, F.lit("/index.html"))
     cross = F.concat(
         F.lit("http://"),
-        host_name_expr((h + 1) % N_HOSTS),
+        host_name_expr((h + 1) % n_hosts),
         F.lit("/dir0/index.html"),
     )
     dangling = F.concat(F.lit("http://"), host, F.lit("/missing"), j, F.lit(".html"))
@@ -137,6 +154,24 @@ def generate_pages(spark: SparkSession, n_pages: int) -> DataFrame:
         F.encode(html_str, "UTF-8").alias("html"),
         text.alias("text"),
         lang.alias("lang"),
+    )
+
+
+def generate_seed_sample(
+    spark: SparkSession, n_pages: int, n_seeds: int, n_hosts: int = N_HOSTS
+) -> DataFrame:
+    """Large deterministic seed set for throughput benchmarking: every
+    (n_pages // n_seeds)-th page URL, priority decaying with rank.  Uses
+    the same id -> url arithmetic as :func:`generate_pages`, so every seed
+    exists in the pages table."""
+    n_pages = max(40, (n_pages // N_HOST_SLOTS) * N_HOST_SLOTS)
+    step = max(1, n_pages // n_seeds)
+    ids = spark.range(0, n_pages, step)
+    h, j, _ = _page_coords(n_pages, n_hosts)
+    url = F.concat(F.lit("http://"), host_name_expr(h), _page_path_expr(j))
+    return ids.select(
+        url.alias("url"),
+        (F.lit(1.0) - (F.col("id") % 997) / 1000.0).alias("priority"),
     )
 
 
