@@ -1,0 +1,157 @@
+"""F8/F9/X1 conversion dispatch+execution and the K1/K2 WARC sink."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from warcit_spark.operators.charset import content_type_with_charset, with_detected_charset
+from warcit_spark.operators.convert import dispatch_conversions, run_conversions
+from warcit_spark.sinks.warc import read_warc_records, write_warc_files
+
+FILE_TYPES = [
+    {
+        "ext": "flv",
+        "conversion_rules": [
+            {"name": "copy1", "ext": "c1", "command": "cp {input} {output}", "mime": "video/c1"},
+            {"name": "skipme", "ext": "sk", "command": "cp {input} {output}", "mime": "x", "skip": True},
+        ],
+    },
+    {
+        "regex": r"http://m\.test/special/.*",
+        "conversion_rules": [
+            {"name": "copy2", "ext": "c2", "command": "cp {input} {output}", "mime": "video/c2"},
+        ],
+    },
+]
+
+
+@pytest.fixture()
+def media_files(spark, tmp_path):
+    root = tmp_path / "media"
+    (root / "sub").mkdir(parents=True)
+    f1 = root / "sub" / "a.flv"
+    f1.write_bytes(b"FLV\x01payload-a")
+    f2 = root / "b.mp3"
+    f2.write_bytes(b"ID3-payload-b")
+    rows = [
+        ("http://m.test/sub/a.flv", str(f1)),
+        ("http://m.test/special/b.mp3", str(f2)),
+    ]
+    return spark.createDataFrame(rows, "url string, filename string"), str(root)
+
+
+def test_dispatch_rules(spark, media_files, tmp_path):
+    files, root = media_files
+    out_dir = str(tmp_path / "conv")
+    planned = dispatch_conversions(files, FILE_TYPES, out_dir, root_dir=root)
+    rows = {(r.url, r.rule_name): r for r in planned.collect()}
+    # ext rule matched a.flv; skip rule dropped; regex rule matched special/
+    assert set(rows) == {
+        ("http://m.test/sub/a.flv", "copy1"),
+        ("http://m.test/special/b.mp3", "copy2"),
+    }
+    r = rows[("http://m.test/sub/a.flv", "copy1")]
+    assert r.conv_url == "http://m.test/sub/a.flv.c1"
+    # F9 rebase: output under output_dir/basename(root)/relpath + '.' + ext
+    assert r.output_path.endswith("/media/sub/a.flv.c1")
+    assert r.command == f"cp {r.filename} {r.output_path}"
+
+
+def test_run_conversions_and_dry_run(spark, media_files, tmp_path):
+    files, root = media_files
+    out_dir = str(tmp_path / "conv_run")
+    planned = dispatch_conversions(files, FILE_TYPES, out_dir, root_dir=root)
+
+    dry = run_conversions(planned, dry_run=True).collect()
+    assert all(not r.success for r in dry)
+    assert not os.path.isdir(out_dir)
+
+    results = {r.url: r for r in run_conversions(planned).collect()}
+    a = results["http://m.test/sub/a.flv.c1"]
+    assert a.success and os.path.isfile(a.output)
+    with open(a.output, "rb") as fh:
+        assert fh.read() == b"FLV\x01payload-a"  # 'cp' really ran
+    assert a.metadata["mime"] == "video/c1"
+
+
+# ------------------------------------------------------------------ WARC sink
+def _records_df(spark):
+    rows = [
+        ("http://w.test/a.html", "resource", "2017-03-04T12:34:56Z",
+         "text/html", b"<html>a</html>", "da39a3ee"),
+        ("http://w.test/dir/", "revisit", "2017-03-04T12:34:56Z",
+         "text/html", b"", "da39a3ee"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "url string, record_type string, warc_date string, content_type string, "
+        "payload binary, payload_digest string",
+    )
+
+
+def test_warc_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "warcs")
+    manifest = write_warc_files(
+        _records_df(spark).coalesce(1), out, gzip_records=True
+    ).collect()
+    assert len(manifest) == 1 and manifest[0].n_records == 2
+
+    recs = read_warc_records(manifest[0].path)
+    assert recs[0]["headers"]["WARC-Type"] == "warcinfo"
+    assert b"software: warcit-spark" in recs[0]["payload"]
+    assert recs[1]["headers"]["WARC-Target-URI"] == "http://w.test/a.html"
+    assert recs[1]["headers"]["WARC-Date"] == "2017-03-04T12:34:56Z"
+    assert recs[1]["headers"]["Content-Type"] == "text/html"
+    assert recs[1]["headers"]["WARC-Payload-Digest"] == "sha1:da39a3ee"
+    assert recs[1]["payload"] == b"<html>a</html>"
+    assert recs[2]["headers"]["WARC-Type"] == "revisit"
+    assert recs[2]["payload"] == b""
+
+
+def test_warc_mode_semantics(spark, tmp_path):
+    out = str(tmp_path / "warcs_mode")
+    df = _records_df(spark).coalesce(1)
+    write_warc_files(df, out).collect()
+    with pytest.raises(FileExistsError):  # xb default (warcit.py:143-148)
+        write_warc_files(df, out).collect()
+    write_warc_files(df, out, mode="ab").collect()
+    assert len(os.listdir(out)) == 2
+    write_warc_files(df, out, mode="wb").collect()
+    assert len(os.listdir(out)) == 1
+
+
+def test_warc_deterministic_record_ids(spark, tmp_path):
+    a = write_warc_files(_records_df(spark).coalesce(1), str(tmp_path / "w1")).collect()
+    b = write_warc_files(_records_df(spark).coalesce(1), str(tmp_path / "w2")).collect()
+    ra = read_warc_records(a[0].path)[1]["headers"]["WARC-Record-ID"]
+    rb = read_warc_records(b[0].path)[1]["headers"]["WARC-Record-ID"]
+    assert ra == rb
+
+
+# -------------------------------------------------------------------- charset
+def test_charset_detection_pipeline(spark):
+    rows = [
+        ("text/html", "ascii only".encode()),
+        ("text/html", "café utf8".encode("utf-8")),
+        ("text/html", b"caf\xe9 latin1"),
+        ("image/png", "café".encode("utf-8")),  # non-text: never detected
+    ]
+    df = spark.createDataFrame(rows, "mime string, content binary")
+    out = [r.content_type for r in content_type_with_charset(df).collect()]
+    assert out == [
+        "text/html",                       # ascii suppressed (warcit.py:683-684)
+        "text/html; charset=UTF-8",
+        "text/html; charset=WINDOWS-1252",
+        "image/png",
+    ]
+
+
+def test_detect_charset_column(spark):
+    df = spark.createDataFrame(
+        [(b"plain",), (None,), (b"",)], "content binary"
+    )
+    got = [r.detected_charset for r in with_detected_charset(df).collect()]
+    assert got == ["ascii", None, None]

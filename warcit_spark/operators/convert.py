@@ -1,0 +1,165 @@
+"""F8/F9/X1: rule-driven media conversion as a dataflow plan.
+
+Reference semantics (warcit/converter.py:136-187):
+
+- F8 dispatch: each file is checked against every file_type; a file_type
+  matches by ``url.endswith(ext)`` or ``regex.match(url)`` (anchored at the
+  start).  *Every* matching file_type contributes (the reference loop has
+  no break); within a file_type, rules with ``skip`` are dropped.
+- F9 output rebase: ``abspath(output_dir / basename(root_dir) /
+  relpath(input + '.' + ext, root_dir))``.
+- X1 execution: ``command.format(input=..., output=...)`` run via
+  ``subprocess.call(shell=False)``; ``success = (exit == 0)``; result url
+  is ``url + '.' + ext``; ``--dry-run`` plans without executing.
+
+Spark shape: dispatch + rebase are pure expressions (the rule set is a
+compile-time when/explode chain — the Catalyst analog of the reference's
+regex precompilation, converter.py:91-94).  Only the subprocess boundary
+runs Python, via ``mapInPandas`` — one external process per row, exactly
+the reference's concurrency boundary, but distributed across executors.
+The dry-run plan IS the dispatch DataFrame (``.explain()`` + collect).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RULE_FIELDS = ("name", "ext", "command", "mime")
+
+
+def dispatch_conversions(
+    files: DataFrame,
+    file_types: list[dict],
+    output_dir: str,
+    url_col: str = "url",
+    filename_col: str = "filename",
+    root_dir: str = "",
+) -> DataFrame:
+    """Plan one row per (file x applicable rule).
+
+    Output: url, filename, rule_name, rule_ext, rule_mime, conv_url,
+    output_path, command (fully substituted).
+    """
+    per_type_rules = []
+    for ft in file_types:
+        if "ext" in ft:
+            matched = F.col(url_col).endswith(ft["ext"])
+        elif "regex" in ft:
+            # Python re.match anchors at the start; rlike does not
+            matched = F.col(url_col).rlike("^(?:" + ft["regex"] + ")")
+        else:
+            continue
+        rules = [
+            F.struct(
+                *[F.lit(r.get(k)).alias(k) for k in RULE_FIELDS]
+            )
+            for r in ft.get("conversion_rules", [])
+            if not r.get("skip")
+        ]
+        if rules:
+            per_type_rules.append(
+                F.when(matched, F.array(*rules)).otherwise(
+                    F.array().cast(
+                        "array<struct<name:string,ext:string,command:string,mime:string>>"
+                    )
+                )
+            )
+    if not per_type_rules:
+        return files.sparkSession.createDataFrame(
+            [],
+            "url string, filename string, rule_name string, rule_ext string, "
+            "rule_mime string, conv_url string, output_path string, command string",
+        )
+
+    all_rules = F.flatten(F.array(*per_type_rules))
+    exploded = files.select(
+        F.col(url_col).alias("url"),
+        F.col(filename_col).alias("filename"),
+        F.explode(all_rules).alias("rule"),
+    )
+
+    # F9 rebase: relpath(input + '.' + ext, root_dir) under
+    # output_dir/basename(root_dir)
+    out_base = os.path.abspath(
+        os.path.join(output_dir, os.path.basename(root_dir.rstrip("/")))
+    )
+    rel = F.col("filename")
+    if root_dir:
+        import re as _re
+
+        rel = F.regexp_replace(rel, "^" + _re.escape(root_dir.rstrip("/")) + "/", "")
+    converted_name = F.concat(rel, F.lit("."), F.col("rule.ext"))
+    output_path = F.concat(F.lit(out_base + "/"), converted_name)
+
+    command = F.replace(
+        F.replace(F.col("rule.command"), F.lit("{input}"), F.col("filename")),
+        F.lit("{output}"),
+        output_path,
+    )
+    return exploded.select(
+        "url",
+        "filename",
+        F.col("rule.name").alias("rule_name"),
+        F.col("rule.ext").alias("rule_ext"),
+        F.col("rule.mime").alias("rule_mime"),
+        F.concat(F.col("url"), F.lit("."), F.col("rule.ext")).alias("conv_url"),
+        output_path.alias("output_path"),
+        command.alias("command"),
+    )
+
+
+def run_conversions(planned: DataFrame, dry_run: bool = False) -> DataFrame:
+    """Execute the planned commands (X1).  Returns the conversions table
+    shape consumed by J2/D2: (source_url, url, output, success, metadata).
+
+    dry_run skips execution and reports success=false without side effects
+    (the reference logs and continues, converter.py:162-163).
+    """
+    out_schema = (
+        "source_url string, url string, output string, success boolean, "
+        "metadata struct<name:string,ext:string,command:string,mime:string,"
+        "skip_as_source:boolean>"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if dry_run:
+                    success = False
+                else:
+                    os.makedirs(os.path.dirname(r.output_path), exist_ok=True)
+                    try:
+                        success = (
+                            subprocess.call(r.command.split(" "), shell=False)
+                            == 0
+                        )
+                    except OSError:
+                        success = False
+                rows.append(
+                    {
+                        "source_url": r.url,
+                        "url": r.conv_url,
+                        "output": r.output_path,
+                        "success": success,
+                        "metadata": {
+                            "name": r.rule_name,
+                            "ext": r.rule_ext,
+                            "command": r.command,
+                            "mime": r.rule_mime,
+                            "skip_as_source": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["source_url", "url", "output", "success", "metadata"],
+            )
+
+    return planned.mapInPandas(fn, out_schema)

@@ -1,0 +1,164 @@
+"""K1/K2: WARC file export (warcit/warcit.py:409-462 re-expressed).
+
+The reference writes one WARC file through warcio with per-record gzip
+framing (each record is its own gzip member — the standard .warc.gz
+layout) and a leading ``warcinfo`` manifest record.  warcio is not in this
+container, so the writer below emits WARC/1.0 records directly — the
+format is line-oriented headers + payload and is covered by a golden
+round-trip test (tests/test_warc_sink.py parses the output back).
+
+Distributed shape: ``df.mapInPandas`` writes one ``part-<pid>.warc.gz``
+per partition (the Spark analog of K1's single sequential file), each with
+its own warcinfo preamble carrying the partition id — mirroring how the
+reference stamps software/format/cmdline (warcit.py:450-462).  Determinism:
+callers order records with ``sortWithinPartitions`` first; file names come
+from the task partition id.  The returned DataFrame is the write manifest
+(path, n_records, bytes) — the sink's audit record, K3-style.
+
+Modes mirror warcit.py:143-148: 'xb' fail-if-exists (default), 'wb'
+overwrite, 'ab' append (new part files alongside old ones).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+SOFTWARE = "warcit-spark/0.1.0"
+_NAMESPACE = uuid.uuid5(uuid.NAMESPACE_URL, "warcit-spark")
+
+REQUIRED_COLS = ("url", "record_type", "warc_date", "content_type", "payload")
+
+
+def _record_bytes(
+    record_type: str,
+    headers: list[tuple[str, str]],
+    payload: bytes,
+) -> bytes:
+    head_lines = [b"WARC/1.0\r\n", f"WARC-Type: {record_type}\r\n".encode()]
+    for k, v in headers:
+        if v is not None:
+            head_lines.append(f"{k}: {v}\r\n".encode())
+    head_lines.append(f"Content-Length: {len(payload)}\r\n".encode())
+    head_lines.append(b"\r\n")
+    return b"".join(head_lines) + payload + b"\r\n\r\n"
+
+
+def _warcinfo_bytes(filename: str, partition_id: int) -> bytes:
+    fields = (
+        f"software: {SOFTWARE}\r\n"
+        "format: WARC File Format 1.0\r\n"
+        f"partition: {partition_id}\r\n"
+    ).encode()
+    rid = uuid.uuid5(_NAMESPACE, f"warcinfo:{filename}")
+    return _record_bytes(
+        "warcinfo",
+        [
+            ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+            ("WARC-Filename", filename),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        fields,
+    )
+
+
+def write_warc_files(
+    records: DataFrame, out_dir: str, gzip_records: bool = True, mode: str = "xb"
+) -> DataFrame:
+    """Write records to ``out_dir/part-<pid>.warc[.gz]``.
+
+    ``records`` needs columns (url, record_type, warc_date, content_type,
+    payload binary) and optionally payload_digest / refers_to_target_uri.
+    Record-IDs are deterministic (uuid5 of type+url+date) so re-runs are
+    byte-identical — the engine's reproducible-output stance (SURVEY.md
+    §4.2 'deterministic output').
+    """
+    if mode not in ("xb", "wb", "ab"):
+        raise ValueError(f"mode must be xb/wb/ab, got {mode!r}")
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        if mode == "xb":
+            raise FileExistsError(
+                f"{out_dir} exists; use mode='ab' to append or 'wb' to overwrite"
+            )
+        if mode == "wb":
+            for name in os.listdir(out_dir):
+                if name.startswith("part-"):
+                    os.unlink(os.path.join(out_dir, name))
+    os.makedirs(out_dir, exist_ok=True)
+
+    has_digest = "payload_digest" in records.columns
+    has_refers = "refers_to_target_uri" in records.columns
+    suffix = ".warc.gz" if gzip_records else ".warc"
+    run_tag = uuid.uuid4().hex[:8] if mode == "ab" else ""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"part-{run_tag}{pid:05d}{suffix}"
+        path = os.path.join(out_dir, name)
+        n = 0
+        with open(path, "wb") as fh:
+
+            def emit(raw: bytes) -> None:
+                fh.write(gzip.compress(raw, 6) if gzip_records else raw)
+
+            emit(_warcinfo_bytes(name, pid))
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    payload = bytes(r.payload) if r.payload is not None else b""
+                    rid = uuid.uuid5(
+                        _NAMESPACE, f"{r.record_type}:{r.url}:{r.warc_date}"
+                    )
+                    headers = [
+                        ("WARC-Target-URI", r.url),
+                        ("WARC-Date", r.warc_date),
+                        ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+                        ("Content-Type", r.content_type),
+                    ]
+                    if has_digest and getattr(r, "payload_digest", None):
+                        headers.append(
+                            ("WARC-Payload-Digest", f"sha1:{r.payload_digest}")
+                        )
+                    if has_refers and getattr(r, "refers_to_target_uri", None):
+                        headers.append(
+                            ("WARC-Refers-To-Target-URI", r.refers_to_target_uri)
+                        )
+                    emit(_record_bytes(r.record_type, headers, payload))
+                    n += 1
+        yield pd.DataFrame(
+            {"path": [path], "n_records": [n], "bytes": [os.path.getsize(path)]}
+        )
+
+    cols = [c for c in records.columns]
+    return records.select(*cols).mapInPandas(
+        fn, "path string, n_records long, bytes long"
+    )
+
+
+def read_warc_records(path: str) -> list[dict]:
+    """Minimal WARC reader for round-trip tests (gzip multi-member aware)."""
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    if path.endswith(".gz"):
+        blob = gzip.decompress(blob)  # handles concatenated members
+    records = []
+    i = 0
+    while i < len(blob):
+        if not blob.startswith(b"WARC/1.0\r\n", i):
+            break
+        head_end = blob.index(b"\r\n\r\n", i)
+        headers = {}
+        for line in blob[i + 10 : head_end].split(b"\r\n"):
+            k, _, v = line.partition(b": ")
+            headers[k.decode()] = v.decode()
+        length = int(headers["Content-Length"])
+        payload = blob[head_end + 4 : head_end + 4 + length]
+        records.append({"headers": headers, "payload": payload})
+        i = head_end + 4 + length + 4
+    return records
