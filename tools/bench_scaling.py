@@ -29,7 +29,8 @@ from warcit_spark.sources.fixture import (
 
 cpus = {cpus}
 n_hosts = {n_hosts}
-spark = get_spark("scaling-bench", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8))
+# identical plan at both levels: only the core count differs
+spark = get_spark("scaling-bench", master=f"local[{{cpus}}]", shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
 pages = generate_pages(spark, {n_pages}, n_hosts=n_hosts).persist()
 pages.count()
@@ -44,15 +45,15 @@ try:
     urls = sum(s.get("urls_emitted", 0) for s in summaries)
     print("RESULT " + json.dumps({{"cpus": cpus, "wall_sec": round(wall, 3),
         "urls_emitted": urls, "urls_per_sec": round(urls / wall, 1),
-        "rounds": len(summaries)}}))
+        "rounds": len(summaries), "summaries": summaries}}))
 finally:
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
 """
 
 
-N_HOSTS = 64
-N_SEEDS = 50_000
+N_HOSTS = 128
+N_SEEDS = 200_000
 
 
 def run_level(cpus: int, n_pages: int, rounds: int, budget: int) -> dict:

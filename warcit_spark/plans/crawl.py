@@ -36,7 +36,7 @@ from warcit_spark.functions.timestamps import iso8601z_expr
 from warcit_spark.functions.urls import canonicalize_url_expr, host_expr
 from warcit_spark.operators.links import extract_links
 from warcit_spark.operators.robots import apply_robots
-from warcit_spark.plans.politeness import politeness_select
+from warcit_spark.plans.politeness import politeness_annotate
 from warcit_spark.plans.state import CrawlState
 
 FRONTIER_SCHEMA = "url string, host string, priority double, round_added int"
@@ -162,18 +162,18 @@ def crawl_round(
         state.commit_round(round_id, summary)
         return summary
 
-    # ---- robots (broadcast, zero-shuffle on frontier) ----------------------
+    # ---- robots + politeness: ONE grain-preserving scheduling frame --------
+    # robots is a broadcast join with in-row rule resolution (no shuffle on
+    # the frontier side); politeness annotates selected/rank flags instead
+    # of filtering, so denied/selected/deferred are all narrow filters of
+    # the same persisted frame — no anti-join, no second scan.
     with_rules = apply_robots(frontier, robots)
-    denied = with_rules.where(~F.col("allowed"))
-    allowed = with_rules.where(F.col("allowed"))
-
-    # ---- politeness (two-stage skew-safe ranking) --------------------------
-    selected = politeness_select(
-        allowed, cfg.host_budget, n_salt=cfg.n_salt
+    sched = politeness_annotate(
+        with_rules, cfg.host_budget, n_salt=cfg.n_salt, allowed_col="allowed"
     ).persist()
-    deferred = allowed.join(
-        selected.select("url"), on="url", how="left_anti"
-    ).persist()
+    denied = sched.where(~F.col("allowed"))
+    selected = sched.where(F.col("selected"))
+    deferred = sched.where(F.col("allowed") & ~F.col("selected"))
 
     # ---- fetch: J4 against the pages oracle --------------------------------
     fetched = (
@@ -254,15 +254,19 @@ def crawl_round(
     ).unionByName(new_urls).withColumn("round", F.lit(round_id + 1))
 
     # ---- lineage (content-defined partitions, stable across cluster sizes) -
+    # the scheduling frame yields four counters in ONE conditional
+    # aggregation; only candidates and new_urls need their own groupBy
     P = cfg.n_lineage_partitions
-    parts = (
-        _lineage_counts(frontier, "urls_in", P)
-        .join(_lineage_counts(denied, "robots_denied", P), "partition_id", "full")
-        .join(_lineage_counts(selected, "urls_emitted", P), "partition_id", "full")
-        .join(_lineage_counts(deferred, "deferred", P), "partition_id", "full")
-        .join(_lineage_counts(candidates, "links_found", P), "partition_id", "full")
-        .join(_lineage_counts(new_urls, "new_urls", P), "partition_id", "full")
+    pid = F.pmod(F.xxhash64("host"), F.lit(P)).cast("int")
+    sched_counts = sched.groupBy(pid.alias("partition_id")).agg(
+        F.count("*").alias("urls_in"),
+        F.count_if(~F.col("allowed")).alias("robots_denied"),
+        F.count_if(F.col("selected")).alias("urls_emitted"),
+        F.count_if(F.col("allowed") & ~F.col("selected")).alias("deferred"),
     )
+    parts = sched_counts.join(
+        _lineage_counts(candidates, "links_found", P), "partition_id", "full"
+    ).join(_lineage_counts(new_urls, "new_urls", P), "partition_id", "full")
     lineage = parts.select(
         F.lit(round_id).alias("round"),
         "partition_id",
@@ -310,7 +314,7 @@ def crawl_round(
     state.write_delta(lineage_out, "lineage", round_id)
     state.commit_round(round_id, summary)
 
-    for df in (frontier, selected, deferred, fetched, candidates, new_urls):
+    for df in (frontier, sched, fetched, candidates, new_urls):
         df.unpersist()
     return summary
 

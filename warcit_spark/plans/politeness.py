@@ -43,7 +43,7 @@ def host_round_budget_expr(host_budget: int, crawl_delay: Column) -> Column:
     ).cast("int")
 
 
-def politeness_select(
+def politeness_annotate(
     frontier: DataFrame,
     host_budget: int,
     n_salt: int = 16,
@@ -51,27 +51,55 @@ def politeness_select(
     url_col: str = "url",
     host_col: str = "host",
     delay_col: str = "crawl_delay",
+    allowed_col: str | None = None,
 ) -> DataFrame:
-    """Return the selected rows with ``rank_in_host`` (1-based), bounded by
-    the per-host budget.  Deferred rows are ``frontier LEFT ANTI selected``
-    (computed by the caller so the frontier scan is reused).
+    """Annotate EVERY row with ``selected`` and (for selected rows)
+    ``rank_in_host`` — grain-preserving, so deferred rows need no extra
+    anti-join (they are simply ``~selected``).
 
-    Input must carry ``crawl_delay`` (joined from robots; 1.0 default).
+    Stage 2 ranks all rows in one window by ordering stage-1 survivors
+    first: within a host every survivor sorts before every non-survivor,
+    so a survivor's rank equals its rank among survivors alone, and the
+    selection cutoff is exact.  Input must carry ``crawl_delay`` (host
+    level; joined from robots, 1.0 default).
+
+    ``allowed_col``: robots-denied rows ride along un-selectable (ordered
+    last within host, ANDed out of ``selected``) so the whole round
+    schedules off one frame with no allowed/denied split.
     """
     budget = host_round_budget_expr(host_budget, F.col(delay_col))
     order = [F.col(priority_col).desc(), F.col(url_col).asc()]
+    if allowed_col is not None:
+        order = [F.col(allowed_col).desc(), *order]
 
     w_salt = Window.partitionBy(
         salted_host_expr(F.col(host_col), F.col(url_col), n_salt)
     ).orderBy(*order)
-    pre = (
-        frontier.withColumn("_pre_rank", F.row_number().over(w_salt))
-        .where(F.col("_pre_rank") <= budget)
-        .drop("_pre_rank")
+    pre = frontier.withColumn(
+        "_pre_ok", F.row_number().over(w_salt) <= budget
     )
 
-    w_host = Window.partitionBy(host_col).orderBy(*order)
-    return (
-        pre.withColumn("rank_in_host", F.row_number().over(w_host))
-        .where(F.col("rank_in_host") <= budget)
+    w_host = Window.partitionBy(host_col).orderBy(
+        F.col("_pre_ok").desc(), *order
     )
+    ranked = pre.withColumn("_rk", F.row_number().over(w_host))
+    selected = F.col("_pre_ok") & (F.col("_rk") <= budget)
+    if allowed_col is not None:
+        selected = selected & F.col(allowed_col)
+    return ranked.select(
+        *frontier.columns,
+        selected.alias("selected"),
+        F.when(selected, F.col("_rk")).alias("rank_in_host"),
+    )
+
+
+def politeness_select(
+    frontier: DataFrame,
+    host_budget: int,
+    n_salt: int = 16,
+    **kw,
+) -> DataFrame:
+    """Selected rows only (rank_in_host <= budget)."""
+    return politeness_annotate(frontier, host_budget, n_salt, **kw).where(
+        F.col("selected")
+    ).drop("selected")

@@ -165,14 +165,18 @@ def generate_seed_sample(
     the same id -> url arithmetic as :func:`generate_pages`, so every seed
     exists in the pages table."""
     n_pages = max(40, (n_pages // N_HOST_SLOTS) * N_HOST_SLOTS)
-    step = max(1, n_pages // n_seeds)
-    ids = spark.range(0, n_pages, step)
+    n_seeds = min(n_seeds, n_pages)
+    # multiplicative stride coprime with the %10 slot structure — a plain
+    # arithmetic step would alias onto a single host slot (e.g. step 5 hits
+    # only id%10 in {0,5} = the hot host)
+    page_id = (F.col("id") * 9973) % n_pages
+    ids = spark.range(n_seeds).select(page_id.alias("id"))
     h, j, _ = _page_coords(n_pages, n_hosts)
     url = F.concat(F.lit("http://"), host_name_expr(h), _page_path_expr(j))
     return ids.select(
         url.alias("url"),
         (F.lit(1.0) - (F.col("id") % 997) / 1000.0).alias("priority"),
-    )
+    ).groupBy("url").agg(F.max("priority").alias("priority"))
 
 
 def generate_seeds(spark: SparkSession) -> DataFrame:
