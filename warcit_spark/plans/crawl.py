@@ -36,7 +36,7 @@ from warcit_spark.functions.timestamps import iso8601z_expr
 from warcit_spark.functions.urls import canonicalize_url_expr, host_expr
 from warcit_spark.operators.links import extract_links
 from warcit_spark.operators.robots import apply_robots
-from warcit_spark.plans.politeness import politeness_annotate
+from warcit_spark.plans.politeness import politeness_prerank, politeness_rank
 from warcit_spark.plans.state import CrawlState
 
 FRONTIER_SCHEMA = "url string, host string, priority double, round_added int"
@@ -51,6 +51,12 @@ class CrawlConfig:
     n_salt: int = 16               # politeness pre-rank salt slots
     n_lineage_partitions: int = 32
     index_suffixes: tuple[str, ...] = DEFAULT_INDEX_SUFFIXES
+    # broadcast the selected frontier into the fetch join (pages side never
+    # shuffles).  A plain LEFT join cannot broadcast its preserved side, so
+    # the round flips it to pages RIGHT OUTER broadcast(selected).  Turn off
+    # when a round's selection outgrows executor memory — then the right
+    # plan is a sort-merge join against url-bucketed pages.
+    broadcast_fetch: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -142,8 +148,15 @@ def crawl_round(
     robots: DataFrame,
     round_id: int,
     cfg: CrawlConfig,
+    mime_dim: DataFrame | None = None,
 ) -> dict:
-    """Run one crawl round and commit it.  Returns the round summary."""
+    """Run one crawl round and commit it.  Returns the round summary.
+
+    ``mime_dim``: pass a persisted dim from run_crawl so the ~1000-row
+    extension table is not re-shipped from the driver every round.
+    """
+    if mime_dim is None:
+        mime_dim = _mime_dim(spark)
     frontier = state.read_table(spark, "frontier", upto_round=round_id)
     if frontier is None:
         raise RuntimeError(f"no frontier delta for round {round_id}")
@@ -162,26 +175,37 @@ def crawl_round(
         state.commit_round(round_id, summary)
         return summary
 
-    # ---- robots + politeness: ONE grain-preserving scheduling frame --------
+    # ---- robots + politeness: two flagged frames, no anti-join -------------
     # robots is a broadcast join with in-row rule resolution (no shuffle on
-    # the frontier side); politeness annotates selected/rank flags instead
-    # of filtering, so denied/selected/deferred are all narrow filters of
-    # the same persisted frame — no anti-join, no second scan.
+    # the frontier side).  Stage 1 flags salted-pre-rank survivors over the
+    # full frontier (hot host fans out across n_salt tasks); stage 2 ranks
+    # only the bounded survivor set, so no task ever sorts a hot host's
+    # whole backlog.  denied/selected/deferred are narrow filters and a
+    # union of these two persisted frames.
     with_rules = apply_robots(frontier, robots)
-    sched = politeness_annotate(
+    pre = politeness_prerank(
         with_rules, cfg.host_budget, n_salt=cfg.n_salt, allowed_col="allowed"
     ).persist()
-    denied = sched.where(~F.col("allowed"))
-    selected = sched.where(F.col("selected"))
-    deferred = sched.where(F.col("allowed") & ~F.col("selected"))
+    ranked = politeness_rank(
+        pre.where(F.col("_pre_ok")), cfg.host_budget
+    ).persist()
+    denied = pre.where(~F.col("allowed"))
+    selected = ranked.where(F.col("selected"))
+    base_cols = ["url", "host", "priority", "round_added"]
+    deferred = (
+        pre.where(F.col("allowed") & ~F.col("_pre_ok"))
+        .select(*base_cols)
+        .unionByName(ranked.where(~F.col("selected")).select(*base_cols))
+    )
 
     # ---- fetch: J4 against the pages oracle --------------------------------
+    # left-join semantics (every selected URL yields a row) with the SMALL
+    # side broadcast: pages RIGHT OUTER broadcast(selected).  The wide pages
+    # relation is streamed in place — never shuffled, never broadcast.
+    pages_r = pages.withColumnRenamed("url", "_purl")
+    sel_side = F.broadcast(selected) if cfg.broadcast_fetch else selected
     fetched = (
-        selected.join(
-            pages.withColumnRenamed("url", "_purl"),
-            selected["url"] == F.col("_purl"),
-            "left",
-        )
+        pages_r.join(sel_side, F.col("_purl") == selected["url"], "right_outer")
         .drop("_purl")
         .select(
             F.lit(round_id).alias("round"),
@@ -201,9 +225,7 @@ def crawl_round(
         .persist()
     )
 
-    records = derive_fetch_records(
-        fetched, _mime_dim(spark), cfg.index_suffixes
-    )
+    records = derive_fetch_records(fetched, mime_dim, cfg.index_suffixes)
 
     # ---- link extraction + canonicalization (D4) ---------------------------
     html_pages = fetched.where(
@@ -241,9 +263,10 @@ def crawl_round(
         if seen_prev is not None
         else seen_delta.select("url")
     )
+    # one anti-join against (seen ∪ deferred) instead of two passes
+    not_new = seen_all.unionByName(deferred.select("url"))
     new_urls = (
-        deduped.join(seen_all, on="url", how="left_anti")
-        .join(deferred.select("url"), on="url", how="left_anti")
+        deduped.join(not_new, on="url", how="left_anti")
         .select(
             "url", "host", "priority", F.lit(round_id + 1).alias("round_added")
         )
@@ -254,19 +277,29 @@ def crawl_round(
     ).unionByName(new_urls).withColumn("round", F.lit(round_id + 1))
 
     # ---- lineage (content-defined partitions, stable across cluster sizes) -
-    # the scheduling frame yields four counters in ONE conditional
-    # aggregation; only candidates and new_urls need their own groupBy
+    # the two scheduling frames yield five counters in two conditional
+    # aggregations; only candidates and new_urls need their own groupBy
     P = cfg.n_lineage_partitions
     pid = F.pmod(F.xxhash64("host"), F.lit(P)).cast("int")
-    sched_counts = sched.groupBy(pid.alias("partition_id")).agg(
+    pre_counts = pre.groupBy(pid.alias("partition_id")).agg(
         F.count("*").alias("urls_in"),
         F.count_if(~F.col("allowed")).alias("robots_denied"),
-        F.count_if(F.col("selected")).alias("urls_emitted"),
-        F.count_if(F.col("allowed") & ~F.col("selected")).alias("deferred"),
+        F.count_if(F.col("allowed") & ~F.col("_pre_ok")).alias("_pre_deferred"),
     )
-    parts = sched_counts.join(
-        _lineage_counts(candidates, "links_found", P), "partition_id", "full"
-    ).join(_lineage_counts(new_urls, "new_urls", P), "partition_id", "full")
+    rk_counts = ranked.groupBy(pid.alias("partition_id")).agg(
+        F.count_if(F.col("selected")).alias("urls_emitted"),
+        F.count_if(~F.col("selected")).alias("_rk_deferred"),
+    )
+    parts = (
+        pre_counts.join(rk_counts, "partition_id", "full")
+        .withColumn(
+            "deferred",
+            F.coalesce(F.col("_pre_deferred"), F.lit(0))
+            + F.coalesce(F.col("_rk_deferred"), F.lit(0)),
+        )
+        .join(_lineage_counts(candidates, "links_found", P), "partition_id", "full")
+        .join(_lineage_counts(new_urls, "new_urls", P), "partition_id", "full")
+    )
     lineage = parts.select(
         F.lit(round_id).alias("round"),
         "partition_id",
@@ -314,7 +347,7 @@ def crawl_round(
     state.write_delta(lineage_out, "lineage", round_id)
     state.commit_round(round_id, summary)
 
-    for df in (frontier, sched, fetched, candidates, new_urls):
+    for df in (frontier, pre, ranked, fetched, candidates, new_urls):
         df.unpersist()
     return summary
 
@@ -336,10 +369,14 @@ def run_crawl(
     if start_round == 0:
         state.write_delta(canonical_seed_frontier(seeds), "frontier", 0)
 
+    mime_dim = _mime_dim(spark).persist()
     summaries = []
-    for r in range(start_round, cfg.max_rounds):
-        summary = crawl_round(spark, state, pages, robots, r, cfg)
-        summaries.append(summary)
-        if summary.get("frontier_next", 0) == 0:
-            break
+    try:
+        for r in range(start_round, cfg.max_rounds):
+            summary = crawl_round(spark, state, pages, robots, r, cfg, mime_dim)
+            summaries.append(summary)
+            if summary.get("frontier_next", 0) == 0:
+                break
+    finally:
+        mime_dim.unpersist()
     return summaries
