@@ -3,12 +3,14 @@
 One round r (SURVEY.md §3.1 restated for the new engine):
 
     frontier_r -> robots (broadcast, in-row longest-prefix)
-               -> politeness select (two-stage skew-safe window)
-               -> fetch = LEFT JOIN pages ON url          (J4)
+               -> politeness (two flagged frames: salted pre-rank over the
+                  full frontier, exact rank over the bounded survivors)
+               -> fetch = left-join semantics vs pages ON url (J4; pages
+                  side pre-bucketed/cached so only the selection shuffles)
                -> record derivation (resource + index-revisit rows, D1/A4)
                -> link extraction (JVM regex, D4) -> canonicalize
                -> within-round dedup (groupBy max-priority)
-               -> anti-join seen, anti-join deferred      (J5)
+               -> ONE anti-join vs (seen UNION deferred)  (J5)
                -> frontier_{r+1} = deferred UNION new
     writes: seen delta, fetched delta, frontier_{r+1}, lineage; then the
     atomic round-commit marker (plans/state.py).
