@@ -552,6 +552,121 @@ def x3_lsh_ann(spark, sf_dir):
     return lsh_bucket_ann(emb, q, k=10)
 
 
+def x4_asof_join(spark, sf_dir):
+    from warcit_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    out = asof_join(e, o, on="ts", by="user_id", right_cols=["last_orderkey"])
+    return out.select("event_id", "user_id", "last_orderkey").orderBy("event_id")
+
+
+def x5_range_join(spark, sf_dir):
+    from warcit_spark.operators.asof import range_join
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .select("o_orderpriority", "o_orderdate")
+        .withColumn("o_end", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    out = range_join(l, o, "l_shipdate", "o_orderdate", "o_end",
+                     bucket_seconds=30 * 86400)
+    return (
+        out.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q5_local_supplier(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .where(c["c_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev.cast("decimal(18,4)")).alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def set1_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    p = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return f.intersect(p).orderBy("o_custkey")
+
+
+def set2_except(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    p = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return f.exceptAll(p).orderBy("o_custkey")
+
+
+def w4_running_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return o.select(
+        "o_custkey", "o_orderkey", running.alias("running_total")
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def t6_levenshtein(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    dist = F.levenshtein(F.col("p_name"), F.lit("small widget"))
+    return (
+        p.select("p_partkey", "p_name", dist.alias("edit_dist"))
+        .where(F.col("edit_dist") <= 5)
+        .orderBy("p_partkey")
+    )
+
+
+def a6_median(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+            F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -586,6 +701,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann1_cosine_topk": ann1_cosine_topk,
         "ann2_embedding_neardup": ann2_embedding_neardup,
         "x3_lsh_ann": x3_lsh_ann,
+        "x4_asof_join": x4_asof_join,
+        "x5_range_join": x5_range_join,
+        "q5_local_supplier": q5_local_supplier,
+        "set1_intersect": set1_intersect,
+        "set2_except": set2_except,
+        "w4_running_total": w4_running_total,
+        "t6_levenshtein": t6_levenshtein,
+        "a6_median": a6_median,
     }
 
 
@@ -893,6 +1016,71 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 200 AND b.vec_id < 200
               AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        """,
+        "x4_asof_join": """
+            WITH o AS (SELECT o_custkey AS user_id, o_orderdate AS ts,
+                              max(o_orderkey) AS last_orderkey
+                       FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, o.last_orderkey
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.user_id AND e.ts >= o.ts
+        """,
+        "x5_range_join": """
+            SELECT o.o_orderpriority, count(*) AS n_pairs
+            FROM (SELECT l_shipdate FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                    AND l_shipdate <  TIMESTAMP '1995-04-01') l
+            JOIN (SELECT o_orderpriority, o_orderdate,
+                         o_orderdate + INTERVAL 30 DAY AS o_end
+                  FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                    AND o_orderdate <  TIMESTAMP '1995-04-01') o
+              ON l.l_shipdate >= o.o_orderdate AND l.l_shipdate < o.o_end
+            GROUP BY 1
+        """,
+        "q5_local_supplier": """
+            SELECT r_name, n_name,
+                   sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY r_name, n_name
+        """,
+        "set1_intersect": """
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "set2_except": """
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "w4_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running_total
+            FROM orders
+        """,
+        "t6_levenshtein": """
+            SELECT p_partkey, p_name,
+                   levenshtein(p_name, 'small widget') AS edit_dist
+            FROM part
+            WHERE levenshtein(p_name, 'small widget') <= 5
+        """,
+        "a6_median": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         # x1_minhash_lsh, x2_simhash, x3_lsh_ann: murmur3/xxhash64-seeded
         # signatures are not expressible in DuckDB SQL -> rows-only check.
