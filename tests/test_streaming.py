@@ -8,7 +8,11 @@ import time
 from pyspark.sql import functions as F
 
 from warcit_spark.sources.fixture import generate_pages
-from warcit_spark.streaming.ingest import host_window_counts, read_pages_stream
+from warcit_spark.streaming.ingest import (
+    host_window_counts,
+    read_pages_stream,
+    streaming_frontier_dedup,
+)
 
 
 def test_stream_counts_match_batch(spark, tmp_path_factory):
@@ -52,3 +56,41 @@ def test_stream_counts_match_batch(spark, tmp_path_factory):
     batch_set = {tuple(r) for r in batch.collect()}
     assert got_set <= batch_set
     assert len(got_set) >= len(batch_set) * 0.5
+
+
+def test_streaming_frontier_dedup(spark, tmp_path_factory):
+    """State-store dedup drops canonical-collision duplicates in-stream."""
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    out = str(tmp_path_factory.mktemp("dedup_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+
+    import datetime as dt
+
+    rows = [
+        ("http://h.test/a", dt.datetime(2024, 1, 1, 10, 0)),
+        ("HTTP://H.TEST:80/a#frag", dt.datetime(2024, 1, 1, 10, 1)),  # dup of a
+        ("http://h.test/b?y=2&x=1", dt.datetime(2024, 1, 1, 10, 2)),
+        ("http://h.test/b?x=1&y=2", dt.datetime(2024, 1, 1, 10, 3)),  # dup of b
+        ("http://h.test/c", dt.datetime(2024, 1, 1, 10, 4)),
+    ]
+    spark.createDataFrame(rows, "url string, warc_ts timestamp").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("url string, warc_ts timestamp").parquet(src)
+    deduped = streaming_frontier_dedup(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.url for r in spark.read.parquet(out).collect())
+    assert got == [
+        "http://h.test/a",
+        "http://h.test/b?x=1&y=2",
+        "http://h.test/c",
+    ]

@@ -53,6 +53,24 @@ def host_window_counts(
     )
 
 
+def streaming_frontier_dedup(
+    urls: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming URL-seen filter: canonicalize, then state-store-backed
+    ``dropDuplicates`` on the canonical url (the Structured-Streaming
+    analog of the batch seen-set anti-join J5).  The watermark bounds the
+    dedup state for continuous ingest; exact global dedup remains the
+    batch loop's job (SURVEY.md §4.2 — the Bloom/state here is a
+    prefilter, the exact set lives in the `seen` table)."""
+    from warcit_spark.functions.urls import canonicalize_url_expr
+
+    canon = urls.select(
+        canonicalize_url_expr(F.col("url")).alias("url"),
+        F.col("warc_ts"),
+    )
+    return canon.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+
+
 def start_ingest(
     spark: SparkSession,
     src_path: str,
