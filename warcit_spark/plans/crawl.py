@@ -59,6 +59,12 @@ class CrawlConfig:
     # when a round's selection outgrows executor memory — then the right
     # plan is a sort-merge join against url-bucketed pages.
     broadcast_fetch: bool = True
+    # Bloom-prefilter the seen anti-join (plans/bloom.py): definitely-new
+    # candidates bypass the join; correctness unchanged (no false
+    # negatives — asserted by tests).  Pays one extra action per round to
+    # build the broadcast bitset, so it is off below ~10^7-row seen sets.
+    use_bloom: bool = False
+    bloom_bits: int = 1 << 24
     extra: dict = field(default_factory=dict)
 
 
@@ -267,8 +273,20 @@ def crawl_round(
     )
     # one anti-join against (seen ∪ deferred) instead of two passes
     not_new = seen_all.unionByName(deferred.select("url"))
+    if cfg.use_bloom:
+        from warcit_spark.plans.bloom import (
+            bloom_prefiltered_anti_join,
+            build_bloom,
+        )
+
+        bloom = build_bloom(not_new, "url", n_bits=cfg.bloom_bits)
+        survivors = bloom_prefiltered_anti_join(
+            deduped, not_new, bloom.tobytes(), key="url", n_bits=cfg.bloom_bits
+        )
+    else:
+        survivors = deduped.join(not_new, on="url", how="left_anti")
     new_urls = (
-        deduped.join(not_new, on="url", how="left_anti")
+        survivors
         .select(
             "url", "host", "priority", F.lit(round_id + 1).alias("round_added")
         )
