@@ -22,6 +22,9 @@ from pyspark.sql import Window
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamps must render/extract in UTC to hash-match the DuckDB oracle
+    # (DuckDB timestamps are UTC-naive); harmless if already UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

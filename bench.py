@@ -75,14 +75,24 @@ def bench_crawl(spark) -> dict:
         generate_seed_sample,
     )
 
-    pages = generate_pages(spark, CRAWL_PAGES, n_hosts=CRAWL_HOSTS).persist()
+    # pre-hash-partition + sort by url: the in-memory analog of a
+    # url-bucketed Iceberg pages table — rounds shuffle only the selection
+    pages = (
+        generate_pages(spark, CRAWL_PAGES, n_hosts=CRAWL_HOSTS)
+        .repartition(64, "url")
+        .sortWithinPartitions("url")
+        .persist()
+    )
     pages.count()  # materialize outside the timed section
     seeds = generate_seed_sample(spark, CRAWL_PAGES, CRAWL_SEEDS, CRAWL_HOSTS)
     robots = generate_robots(spark)
     root = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
         cfg = CrawlConfig(
-            host_budget=CRAWL_BUDGET, max_rounds=CRAWL_ROUNDS, n_salt=16
+            host_budget=CRAWL_BUDGET,
+            max_rounds=CRAWL_ROUNDS,
+            n_salt=16,
+            broadcast_fetch=False,  # pages are pre-bucketed above
         )
         t0 = time.perf_counter()
         summaries = run_crawl(spark, CrawlState(root), pages, seeds, robots, cfg)
