@@ -262,3 +262,33 @@ def test_charset_tika_default_8bit_suppression(spark):
     )
     got = [r.s for r in df.select(suffix.alias("s")).collect()]
     assert got == ["", "; charset=windows-1252"]
+
+
+def test_conversion_records_refer_back(spark):
+    """D2: derived conversion records carry the refer-back headers
+    (warcit.py:569-576)."""
+    from warcit_spark.operators.records import conversion_records
+
+    conv = conversions_from_dict(spark, {
+        "conversions": {
+            "http://m/v.flv": [
+                {"url": "http://m/v.mp4", "output": "/o/v.mp4", "success": True,
+                 "metadata": {"name": "mp4", "ext": "mp4", "mime": "video/mp4"}},
+                {"url": "http://m/v.webm", "output": "/o/v.webm", "success": False},
+            ]
+        }
+    })
+    resources = spark.createDataFrame(
+        [("http://m/v.flv", "<urn:uuid:abc>", "2017-03-04T12:34:56Z")],
+        ["url", "record_id", "warc_date"],
+    )
+    out = conversion_records(resources, conv).collect()
+    assert len(out) == 1  # unsuccessful conversion skipped
+    r = out[0]
+    assert r.url == "http://m/v.mp4"
+    assert r.record_type == "conversion"
+    assert r.refers_to == "<urn:uuid:abc>"
+    assert r.refers_to_target_uri == "http://m/v.flv"
+    assert r.refers_to_target_date == "2017-03-04T12:34:56Z"
+    assert '"mime":"video/mp4"' in r.json_metadata.replace(" ", "")
+    assert r.source_path == "/o/v.mp4"
