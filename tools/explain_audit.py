@@ -27,6 +27,10 @@ AUDIT = [
     "x1_minhash_lsh",
     "ann1_cosine_topk",
     "crawl_canonicalize",
+    "x4_asof_join",
+    "x5_range_join",
+    "q5_local_supplier",
+    "w4_running_total",
 ]
 
 SMELLS = [
