@@ -118,10 +118,12 @@ def q1_pricing_summary(spark, sf_dir):
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
-            F.sum(disc.cast("decimal(18,4)")).alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(18,6)")).alias("sum_charge"),
+            # exact DECIMAL sum (order-independent), then DOUBLE+round so the
+            # rendering matches DuckDB's pandas path (DECIMAL -> float64)
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc.cast("decimal(18,4)")).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge.cast("decimal(18,6)")).cast("double"), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -140,7 +142,7 @@ def q3_top_revenue_orders(spark, sf_dir):
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev.cast("decimal(18,4)")).alias("revenue"))
+        .agg(F.round(F.sum(rev.cast("decimal(18,4)")).cast("double"), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -219,7 +221,9 @@ def f7_json_extract(spark, sf_dir):
     return (
         e.groupBy("event_type")
         .agg(
-            F.sum(k).alias("sum_k"),
+            # DuckDB sum(int) is HUGEINT (-> float64 via pandas); keep both
+            # sides BIGINT so renderings agree
+            F.sum(k).cast("bigint").alias("sum_k"),
             F.count(F.when(k > 50, 1)).alias("n_big"),
         )
         .orderBy("event_type")
@@ -276,7 +280,7 @@ def j2_broadcast_equi_join(spark, sf_dir):
         o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total_price"),
             F.count("*").alias("n_orders"),
         )
         .orderBy("c_mktsegment")
@@ -290,7 +294,7 @@ def j4_equi_join_pushdown(spark, sf_dir):
         l.join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
             F.count("*").alias("n_lines"),
         )
         .orderBy("p_brand")
@@ -391,10 +395,18 @@ def a5_pivot_manual(spark, sf_dir):
         l.groupBy("l_linestatus")
         .agg(
             *[
-                F.sum(
-                    F.when(F.col("l_returnflag") == flag, F.col("l_quantity")).cast(
-                        "decimal(18,2)"
-                    )
+                # coalesce(0): a NULL sum renders None on Spark but NaN via
+                # DuckDB's pandas path — force both sides to 0.0
+                F.coalesce(
+                    F.round(
+                        F.sum(
+                            F.when(F.col("l_returnflag") == flag, F.col("l_quantity")).cast(
+                                "decimal(18,2)"
+                            )
+                        ).cast("double"),
+                        2,
+                    ),
+                    F.lit(0.0),
                 ).alias(f"qty_{flag}")
                 for flag in ("A", "N", "R")
             ]
@@ -426,7 +438,10 @@ def w2_sessionize(spark, sf_dir):
     )
     return (
         flagged.groupBy("user_id")
-        .agg((F.sum("new_session") + 1).alias("n_sessions"), F.count("*").alias("n_events"))
+        .agg(
+            (F.sum("new_session") + 1).cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
         .orderBy("user_id")
     )
 
@@ -437,7 +452,7 @@ def w3_tumbling_window(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -552,7 +567,7 @@ def x3_lsh_ann(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     q = list(emb.where(F.col("vec_id") == 0).first().embedding)
-    return lsh_bucket_ann(emb, q, k=10)
+    return lsh_bucket_ann(emb, q, k=10, hamming_probe=1)
 
 
 def x4_asof_join(spark, sf_dir):
@@ -616,7 +631,7 @@ def q5_local_supplier(spark, sf_dir):
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name", "n_name")
-        .agg(F.sum(rev.cast("decimal(18,4)")).alias("revenue"))
+        .agg(F.round(F.sum(rev.cast("decimal(18,4)")).cast("double"), 4).alias("revenue"))
         .orderBy("r_name", "n_name")
     )
 
@@ -642,7 +657,9 @@ def w4_running_total(spark, sf_dir):
         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    running = F.round(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"), 2
+    )
     return o.select(
         "o_custkey", "o_orderkey", running.alias("running_total")
     ).orderBy("o_custkey", "o_orderkey")
@@ -729,14 +746,57 @@ _WORDS09_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> 
 _PUNCT_SQL = r"""[.,!?;:''"()\[\]{}<>-]"""
 
 
+def _x3_oracle_sql() -> str:
+    """DuckDB twin of x3: reproduces the SRP buckets exactly.
+
+    The hyperplane sign matrix is murmur3-derived but deterministic, so it
+    is materialized driver-side (srp_plane_signs reimplements Spark's
+    F.hash bit-for-bit) and embedded as SQL literals; bucket membership,
+    multi-probe Hamming filter, scoring, and top-k are then pure SQL.
+    """
+    from warcit_spark.operators.similarity import srp_plane_signs
+
+    terms = []
+    for p, plane in enumerate(srp_plane_signs(n_planes=4, dim=64)):
+        arr = "[" + ",".join(str(s) for s in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n               + ".join(terms)
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bk AS (SELECT vec_id, v,
+                 {bucket} AS bucket
+               FROM b),
+        q AS (SELECT v AS qv, bucket AS qb FROM bk WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine
+        FROM bk
+        WHERE bit_count(xor(bucket, (SELECT qb FROM q))) <= 1
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # x1's LSH output on the fixtures has total recall vs exact n-gram
+    # Jaccard at the same threshold (verified in tests), so t5's SQL is a
+    # valid value oracle for it; x3's buckets are reproduced in SQL above.
+    # x2 (simhash) stays rows-only: Spark xxhash64 has no DuckDB twin.
+    d["x1_minhash_lsh"] = d["t5_ngram_jaccard"]
+    d["x3_lsh_ann"] = _x3_oracle_sql()
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-                   sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-                   sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS sum_charge,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
+                   round(CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_charge,
                    round(avg(l_quantity), 6) AS avg_qty,
                    round(avg(l_extendedprice), 6) AS avg_price,
                    round(avg(l_discount), 6) AS avg_disc,
@@ -747,7 +807,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_top_revenue_orders": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,
-                   sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS revenue
+                   round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -804,7 +864,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f7_json_extract": """
             SELECT event_type,
-                   sum(CAST(props->>'$.k' AS INT)) AS sum_k,
+                   CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
                    count(CASE WHEN CAST(props->>'$.k' AS INT) > 50 THEN 1 END) AS n_big
             FROM events
             GROUP BY event_type
@@ -829,14 +889,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j2_broadcast_equi_join": """
             SELECT c_mktsegment,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
         "j4_equi_join_pushdown": """
             SELECT p_brand,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
                    count(*) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_size > 25
@@ -891,9 +951,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a5_pivot_manual": """
             SELECT l_linestatus,
-                   sum(CAST(CASE WHEN l_returnflag='A' THEN l_quantity END AS DECIMAL(18,2))) AS qty_A,
-                   sum(CAST(CASE WHEN l_returnflag='N' THEN l_quantity END AS DECIMAL(18,2))) AS qty_N,
-                   sum(CAST(CASE WHEN l_returnflag='R' THEN l_quantity END AS DECIMAL(18,2))) AS qty_R
+                   coalesce(round(CAST(sum(CAST(CASE WHEN l_returnflag='A' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE), 2), 0.0) AS qty_A,
+                   coalesce(round(CAST(sum(CAST(CASE WHEN l_returnflag='N' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE), 2), 0.0) AS qty_N,
+                   coalesce(round(CAST(sum(CAST(CASE WHEN l_returnflag='R' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE), 2), 0.0) AS qty_R
             FROM lineitem
             GROUP BY l_linestatus
         """,
@@ -913,7 +973,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_session
               FROM events)
             SELECT user_id,
-                   sum(new_session) + 1 AS n_sessions,
+                   CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
         """,
@@ -921,7 +981,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
                    event_type,
                    count(*) AS n_events,
-                   sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+                   round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
             FROM events
             GROUP BY 1, 2
         """,
@@ -1043,7 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier": """
             SELECT r_name, n_name,
-                   sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS revenue
+                   round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1065,11 +1125,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "w4_running_total": """
             SELECT o_custkey, o_orderkey,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                      PARTITION BY o_custkey
                      ORDER BY o_orderdate ASC, o_orderkey ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS running_total
+                   ) AS DOUBLE), 2) AS running_total
             FROM orders
         """,
         "t6_levenshtein": """

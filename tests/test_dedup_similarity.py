@@ -120,3 +120,36 @@ def test_lsh_ann_contains_query_itself(spark, sf_dir):
     assert got, "query's own bucket must not be empty"
     assert got[0].vec_id == first.vec_id  # the vector itself is its own NN
     assert got[0].cosine == pytest.approx(1.0, abs=1e-6)
+
+
+def test_srp_plane_signs_match_spark_hash(spark):
+    """srp_plane_signs's Python murmur3 must agree bit-for-bit with F.hash
+    (this equivalence is what lets the DuckDB oracle reproduce buckets)."""
+    from warcit_spark.operators.similarity import srp_plane_signs
+
+    n_planes, dim = 4, 64
+    seeds = [p * 1_000_003 + d for p in range(n_planes) for d in range(dim)]
+    df = spark.createDataFrame([(s,) for s in seeds], "s int").select(
+        "s", F.hash("s").alias("h")
+    )
+    spark_signs = {r.s: (1.0 if r.h % 2 == 0 else -1.0) for r in df.collect()}
+    py = srp_plane_signs(n_planes, dim)
+    for p in range(n_planes):
+        for d in range(dim):
+            assert py[p][d] == spark_signs[p * 1_000_003 + d]
+
+
+def test_lsh_ann_multiprobe_recall_monotone(spark, sf_dir):
+    """Multi-probe widens the candidate set: recall@k vs exact top-k is
+    non-decreasing in hamming_probe, and probe=n_planes is exact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.orderBy("vec_id").first().embedding)
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+    prev = -1.0
+    for h in (0, 1, 2, 4):
+        got = {r.vec_id for r in lsh_bucket_ann(emb, q, k=10, hamming_probe=h).collect()}
+        recall = len(got & exact) / len(exact)
+        assert recall >= prev - 1e-9
+        prev = recall
+    # probing every bucket (h = n_planes) degenerates to the exact scan
+    assert prev == 1.0

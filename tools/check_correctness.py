@@ -20,6 +20,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pandas as pd
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -97,7 +98,13 @@ def main():
         try:
             res = con.execute(oracles[name])
             ocols = sorted(d[0] for d in res.description)
-            orows = res.fetchall()
+            # fetch via the pandas path like the driver does: DECIMAL and
+            # HUGEINT coerce to float64 there, so renderings must survive it
+            odf = res.df()
+            orows = [
+                tuple(None if v is pd.NaT else v for v in row)
+                for row in odf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)

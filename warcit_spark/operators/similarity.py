@@ -84,33 +84,81 @@ def _srp_bits_expr(vec: Column, n_planes: int, dim: int) -> Column:
     return out
 
 
+def srp_plane_signs(n_planes: int, dim: int) -> list[list[float]]:
+    """The deterministic SRP hyperplane sign matrix, computed driver-side.
+
+    Reimplements Spark's ``F.hash`` (Murmur3_x86_32, seed 42) on the int
+    plane seeds so external oracles (DuckDB SQL) can reproduce the exact
+    same buckets as :func:`_srp_bits_expr` — verified bit-for-bit against
+    ``F.hash`` in tests.
+    """
+
+    def mm3(x: int, seed: int = 42) -> int:
+        c1, c2 = 0xCC9E2D51, 0x1B873593
+        k = (x & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = k * c2 & 0xFFFFFFFF
+        h = (seed ^ k) & 0xFFFFFFFF
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+        h ^= 4
+        h ^= h >> 16
+        h = h * 0x85EBCA6B & 0xFFFFFFFF
+        h ^= h >> 13
+        h = h * 0xC2B2AE35 & 0xFFFFFFFF
+        h ^= h >> 16
+        return h
+
+    return [
+        [1.0 if mm3(p * 1_000_003 + d) % 2 == 0 else -1.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
 def lsh_bucket_ann(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 4,
+    hamming_probe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's SRP bucket.
+    """Approximate top-k: score only vectors in the query's SRP bucket(s).
+
+    ``hamming_probe`` enables multi-probe LSH: candidates from every bucket
+    within that Hamming distance of the query's bucket are scored, trading
+    scan fraction for recall (probe h of n planes ~ sum_{i<=h} C(n,i)/2^n
+    of the corpus for unrelated vectors).
 
     At 100 TB the bucket id becomes the partition key (bucketed write), so
-    a query touches one partition instead of the corpus; here it is a
-    filter that Catalyst pushes down onto the scan of the bucketed table.
+    a query touches 1 + probed partitions instead of the corpus; here it is
+    a filter that Catalyst pushes down onto the scan of the bucketed table.
     """
     dim = len(query_vec)
     vec = F.col(vec_col).cast("array<double>")
     bucketed = embeddings.withColumn("_bucket", _srp_bits_expr(vec, n_planes, dim))
 
-    qdf = bucketed.sparkSession.createDataFrame(
-        [(list(map(float, query_vec)),)], f"q array<double>"
-    ).select(_srp_bits_expr(F.col("q"), n_planes, dim).alias("qb"))
-    qbucket = qdf.first().qb
+    # query bucket computed driver-side from the same sign matrix — no job
+    signs = srp_plane_signs(n_planes, dim)
+    qbucket = 0
+    for p, plane in enumerate(signs):
+        comp = sum(v * s for v, s in zip(query_vec, plane))
+        if comp >= 0:
+            qbucket |= 1 << p
+
+    if hamming_probe <= 0:
+        probe = F.col("_bucket") == qbucket
+    else:
+        probe = (
+            F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbucket)))
+            <= hamming_probe
+        )
 
     q = _query_lit(query_vec)
     sim = cosine_expr(vec, q)
     return (
-        bucketed.where(F.col("_bucket") == qbucket)
+        bucketed.where(probe)
         .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
