@@ -155,3 +155,41 @@ def test_detect_charset_column(spark):
     )
     got = [r.detected_charset for r in with_detected_charset(df).collect()]
     assert got == ["ascii", None, None]
+
+
+def test_warc_digest_base32_like_warcio(spark, tmp_path):
+    """40-hex digests are emitted base32-encoded, the warcio format the
+    reference writes (warcit.py:544); sha1('') golden value."""
+    import base64
+    import hashlib
+
+    hex40 = hashlib.sha1(b"").hexdigest()
+    want = "sha1:" + base64.b32encode(hashlib.sha1(b"").digest()).decode()
+    df = spark.createDataFrame(
+        [("http://w.test/e", "resource", "2017-01-01T00:00:00Z", "text/html",
+          b"", hex40)],
+        "url string, record_type string, warc_date string, content_type string, "
+        "payload binary, payload_digest string",
+    )
+    out = str(tmp_path / "wdig")
+    manifest = write_warc_files(df.coalesce(1), out).collect()
+    recs = read_warc_records(manifest[0].path)
+    assert recs[1]["headers"]["WARC-Payload-Digest"] == want
+    assert want == "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ"  # known b32 of sha1('')
+
+
+def test_warc_revisit_refers_to_headers(spark, tmp_path):
+    """Revisit rows carry WARC-Refers-To-Target-URI/-Date like the
+    reference's make_index_revisit (warcit.py:546-556)."""
+    df = spark.createDataFrame(
+        [("http://w.test/dir/", "revisit", "2017-03-04T12:34:56Z", "text/html",
+          None, "http://w.test/dir/index.html", "2017-03-04T12:34:56Z")],
+        "url string, record_type string, warc_date string, content_type string, "
+        "payload binary, refers_to_target_uri string, refers_to_target_date string",
+    )
+    out = str(tmp_path / "wref")
+    manifest = write_warc_files(df.coalesce(1), out).collect()
+    recs = read_warc_records(manifest[0].path)
+    h = recs[1]["headers"]
+    assert h["WARC-Refers-To-Target-URI"] == "http://w.test/dir/index.html"
+    assert h["WARC-Refers-To-Target-Date"] == "2017-03-04T12:34:56Z"

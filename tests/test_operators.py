@@ -172,7 +172,9 @@ def test_transclusion_metadata_byte_identical(spark):
     assert len(out) == 1  # the url-less entry was skipped
     rec = out[0]
     assert rec.url == "urn:embeds:http://page/embed.html"
-    assert rec.record_type == "metadata"
+    # WARC-Type matches the reference's embeds record (warcit.py:601
+    # create_warc_record(..., 'resource')); 'metadata' is only its CSV log label
+    assert rec.record_type == "resource"
     assert rec.warc_date == "2017-03-04T12:34:56Z"
     assert rec.content_type == "application/vnd.youtube-dl_formats+json"
 
@@ -292,3 +294,37 @@ def test_conversion_records_refer_back(spark):
     assert r.refers_to_target_date == "2017-03-04T12:34:56Z"
     assert '"mime":"video/mp4"' in r.json_metadata.replace(" ", "")
     assert r.source_path == "/o/v.mp4"
+
+
+def test_transclusion_formats_order_deterministic(spark):
+    """With >1 conversion per media url, the formats list follows
+    conversion-file order (seq), not collect_list shuffle order."""
+    conv_doc = {
+        "conversions": {
+            "http://m/v.flv": [
+                {"url": "http://m/v.webm", "output": "/o/v.webm", "success": True,
+                 "metadata": {"name": "webm", "ext": "webm", "mime": "video/webm"}},
+                {"url": "http://m/v.mp4", "output": "/o/v.mp4", "success": True,
+                 "metadata": {"name": "mp4", "ext": "mp4", "mime": "video/mp4"}},
+            ]
+        }
+    }
+    tr_doc = {
+        "transclusions": {
+            "http://m/v.flv": [
+                {"url": "http://page/e.html", "timestamp": "20170304123456"},
+            ]
+        }
+    }
+    import json as _json
+
+    conv = conversions_from_dict(spark, conv_doc).repartition(8)
+    tr = transclusions_from_dict(spark, tr_doc)
+    payloads = {
+        transclusion_metadata_records(tr, conv).first().payload_json
+        for _ in range(3)
+    }
+    assert len(payloads) == 1  # stable across repeated shuffled runs
+    fmts = _json.loads(payloads.pop())["formats"]
+    assert [f.get("name") for f in fmts] == ["webm", "mp4", None]  # file order, orig last
+    assert all("_seq" not in f for f in fmts)

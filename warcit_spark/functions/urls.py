@@ -18,6 +18,8 @@ variant exists as an independently-implemented cross-check used by tests
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -73,9 +75,12 @@ def canonicalize_url_expr(url: Column) -> Column:
 
     scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
     authority = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
-    # split host[:port]; IPv6 bracket hosts keep their brackets in HOST
-    host = F.substring_index(authority, ":", 1)
-    port = F.when(authority.contains(":"), F.substring_index(authority, ":", -1))
+    # split host[:port] on a trailing ':<digits>' only — a first-':' split
+    # mangles IPv6 bracket hosts ('[::1]:8080') and userinfo
+    # ('user:pass@host'); '[::1]' ends in ']' so the port regex never
+    # matches a bracketed address without a port
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    host = F.regexp_replace(authority, r":\d+$", "")
     default_port = F.element_at(
         F.create_map(
             *[F.lit(x) for kv in DEFAULT_PORTS.items() for x in kv]
@@ -83,7 +88,7 @@ def canonicalize_url_expr(url: Column) -> Column:
         scheme,
     )
     port_part = F.when(
-        port.isNotNull() & (port != F.coalesce(default_port, F.lit(""))),
+        (port != "") & (port != F.coalesce(default_port, F.lit(""))),
         F.concat(F.lit(":"), port),
     ).otherwise(F.lit(""))
 
@@ -123,12 +128,11 @@ def canonicalize_urls_pandas(urls: pd.Series) -> pd.Series:
             return u
         scheme = parts.scheme.lower()
         netloc = parts.netloc
-        if ":" in netloc:
-            host, _, port = netloc.rpartition(":")
-            if port == DEFAULT_PORTS.get(scheme, ""):
-                netloc = host
-            else:
-                netloc = host + ":" + port
+        # strip only a trailing ':<digits>' default port (same rule as the
+        # JVM expression: IPv6 brackets and userinfo colons never match)
+        m = re.search(r":(\d+)$", netloc)
+        if m and m.group(1) == DEFAULT_PORTS.get(scheme, ""):
+            netloc = netloc[: m.start()]
         netloc = netloc.lower()
         path = parts.path or "/"
         query = ""

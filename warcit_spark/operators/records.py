@@ -6,7 +6,7 @@
   conversion of a written resource, a ``conversion`` record carrying
   refer-back headers to the original.
 - D3 + A2 transclusion metadata (warcit/warcit.py:580-618,
-  converter.py:240-277): per transclusion of a media url, a ``metadata``
+  converter.py:240-277): per transclusion of a media url, a ``resource``
   record at ``urn:embeds:<contain_url>`` whose payload is the formats
   reverse-index JSON — **byte-identical** to the reference's
   ``json.dumps(..., indent=2, sort_keys=True)`` (asserted by the
@@ -79,6 +79,7 @@ def _formats_json_batch(
         out_formats = []
         for f in fmts if fmts is not None else []:
             d = {k: v for k, v in dict(f).items() if v is not None}
+            d.pop("_seq", None)  # ordering key only, not reference payload
             d["url"] = d.pop("conv_url", d.get("url"))
             d["original_url"] = mu
             out_formats.append(d)
@@ -117,14 +118,20 @@ def transclusion_metadata_records(
             conversions.where(F.col("success"))
             .groupBy(F.col("source_url").alias("media_url"))
             .agg(
-                F.collect_list(
-                    F.struct(
-                        F.col("metadata.name").alias("name"),
-                        F.col("metadata.ext").alias("ext"),
-                        F.col("metadata.command").alias("command"),
-                        F.col("metadata.mime").alias("mime"),
-                        F.col("metadata.skip_as_source").alias("skip_as_source"),
-                        F.col("url").alias("conv_url"),
+                # collect_list order is nondeterministic after shuffles, and
+                # the reference's payload carries conversion-file order
+                # (converter.py:257-267) — sort on the carried seq index
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("seq").alias("_seq"),
+                            F.col("metadata.name").alias("name"),
+                            F.col("metadata.ext").alias("ext"),
+                            F.col("metadata.command").alias("command"),
+                            F.col("metadata.mime").alias("mime"),
+                            F.col("metadata.skip_as_source").alias("skip_as_source"),
+                            F.col("url").alias("conv_url"),
+                        )
                     )
                 ).alias("_formats")
             )
@@ -134,7 +141,7 @@ def transclusion_metadata_records(
         tr = tr.withColumn(
             "_formats",
             F.lit(None).cast(
-                "array<struct<name:string,ext:string,command:string,"
+                "array<struct<_seq:int,name:string,ext:string,command:string,"
                 "mime:string,skip_as_source:boolean,conv_url:string>>"
             ),
         )
@@ -152,9 +159,12 @@ def transclusion_metadata_records(
         orig_mime,
         F.col("_formats"),
     )
+    # WARC-Type is 'resource' like the reference's embeds record
+    # (warcit.py:601 create_warc_record(..., 'resource')); 'metadata' only
+    # appears in the reference's CSV logfile.
     return tr.select(
         F.concat(F.lit("urn:embeds:"), F.col("contain_url")).alias("url"),
-        F.lit("metadata").alias("record_type"),
+        F.lit("resource").alias("record_type"),
         normalize_ts14_expr(F.col("contain_ts")).alias("warc_date"),
         F.lit(TRANSCLUSION_CONTENT_TYPE).alias("content_type"),
         payload.alias("payload_json"),

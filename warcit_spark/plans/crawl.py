@@ -123,10 +123,14 @@ def derive_fetch_records(
         F.coalesce(F.length(F.col("html")), F.lit(0)).cast("long").alias("size"),
         "fetched",
         "reason",
+        F.lit(None).cast("string").alias("refers_to_target_uri"),
+        F.lit(None).cast("string").alias("refers_to_target_date"),
     )
     index_match = F.lower(F.col("url")).endswith(index_suffixes[0])
     for suf in index_suffixes[1:]:
         index_match = index_match | F.lower(F.col("url")).endswith(suf)
+    # revisit refers back to its original (make_index_revisit,
+    # warcit/warcit.py:546-556 sets Refers-To-Target-URI/-Date)
     revisits = resources.where(F.col("fetched") & index_match).select(
         "round",
         F.regexp_replace(F.col("url"), "[^/]+$", "").alias("url"),
@@ -140,6 +144,8 @@ def derive_fetch_records(
         F.lit(0).cast("long").alias("size"),
         "fetched",
         F.lit("revisit").alias("reason"),
+        F.col("url").alias("refers_to_target_uri"),
+        F.col("warc_date").alias("refers_to_target_date"),
     )
     return resources.unionByName(revisits)
 

@@ -125,9 +125,14 @@ def files_to_warc_records(
         F.sha1(F.col("content")).alias("payload_digest"),
         F.concat(F.lit("file://"), F.col("filename")).alias("source_uri"),
         F.col("size"),
+        F.lit(None).cast("string").alias("refers_to_target_uri"),
+        F.lit(None).cast("string").alias("refers_to_target_date"),
     )
 
-    # D1 — index revisit: lowercased url ends with /<index file>
+    # D1 — index revisit: lowercased url ends with /<index file>.  The
+    # revisit refers back to the index record it deduplicates
+    # (make_index_revisit, warcit/warcit.py:546-556: Refers-To-Target-URI
+    # is the original index.html url, Refers-To-Target-Date its date).
     index_match = F.lit(False)
     for name in index_files:
         index_match = index_match | F.lower(F.col("url")).endswith("/" + name)
@@ -140,6 +145,8 @@ def files_to_warc_records(
         "payload_digest",
         "source_uri",
         F.lit(0).cast("long").alias("size"),
+        F.col("url").alias("refers_to_target_uri"),
+        F.col("warc_date").alias("refers_to_target_date"),
     )
     return resources.unionByName(revisits)
 

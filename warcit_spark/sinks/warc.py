@@ -21,6 +21,7 @@ overwrite, 'ab' append (new part files alongside old ones).
 
 from __future__ import annotations
 
+import base64
 import gzip
 import os
 import uuid
@@ -33,6 +34,21 @@ SOFTWARE = "warcit-spark/0.1.0"
 _NAMESPACE = uuid.uuid5(uuid.NAMESPACE_URL, "warcit-spark")
 
 REQUIRED_COLS = ("url", "record_type", "warc_date", "content_type", "payload")
+
+_HEX40 = frozenset("0123456789abcdef")
+
+
+def _digest_header(digest: str) -> str:
+    """Render a payload digest the way warcio does: ``sha1:`` + base32.
+
+    Upstream columns carry hex (``F.sha1``); warcio (reference sink,
+    warcit/warcit.py:544) emits base32 of the raw SHA-1, which standard
+    WARC tooling expects.  Non-40-hex values pass through untouched so
+    callers may supply pre-formatted digests.
+    """
+    if len(digest) == 40 and set(digest) <= _HEX40:
+        return "sha1:" + base64.b32encode(bytes.fromhex(digest)).decode("ascii")
+    return f"sha1:{digest}"
 
 
 def _record_bytes(
@@ -93,8 +109,15 @@ def write_warc_files(
 
     has_digest = "payload_digest" in records.columns
     has_refers = "refers_to_target_uri" in records.columns
+    has_refers_date = "refers_to_target_date" in records.columns
     suffix = ".warc.gz" if gzip_records else ".warc"
-    run_tag = uuid.uuid4().hex[:8] if mode == "ab" else ""
+    # append runs get a deterministic generation tag derived from the
+    # directory state (not a random uuid — reproducible re-runs)
+    if mode == "ab":
+        gen = sum(1 for n in os.listdir(out_dir) if n.startswith("part-"))
+        run_tag = f"g{gen:04d}-"
+    else:
+        run_tag = ""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -123,11 +146,15 @@ def write_warc_files(
                     ]
                     if has_digest and getattr(r, "payload_digest", None):
                         headers.append(
-                            ("WARC-Payload-Digest", f"sha1:{r.payload_digest}")
+                            ("WARC-Payload-Digest", _digest_header(r.payload_digest))
                         )
                     if has_refers and getattr(r, "refers_to_target_uri", None):
                         headers.append(
                             ("WARC-Refers-To-Target-URI", r.refers_to_target_uri)
+                        )
+                    if has_refers_date and getattr(r, "refers_to_target_date", None):
+                        headers.append(
+                            ("WARC-Refers-To-Target-Date", r.refers_to_target_date)
                         )
                     emit(_record_bytes(r.record_type, headers, payload))
                     n += 1

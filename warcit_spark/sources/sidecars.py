@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     BooleanType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -33,6 +34,9 @@ except ImportError:  # pragma: no cover
 CONVERSIONS_SCHEMA = StructType(
     [
         StructField("source_url", StringType()),
+        # position of the result within its source_url list — the
+        # conversion-file order the reference iterates in (converter.py:257)
+        StructField("seq", IntegerType()),
         StructField("url", StringType()),
         StructField("output", StringType()),
         StructField("success", BooleanType()),
@@ -67,11 +71,12 @@ def conversions_from_dict(spark: SparkSession, doc: dict) -> DataFrame:
     (converter.py:171-178)."""
     rows = []
     for source_url, results in (doc.get("conversions") or {}).items():
-        for r in results or []:
+        for seq, r in enumerate(results or []):
             md = r.get("metadata") or {}
             rows.append(
                 (
                     source_url,
+                    seq,
                     r.get("url"),
                     r.get("output"),
                     bool(r.get("success", False)),
