@@ -193,3 +193,75 @@ def test_warc_revisit_refers_to_headers(spark, tmp_path):
     h = recs[1]["headers"]
     assert h["WARC-Refers-To-Target-URI"] == "http://w.test/dir/index.html"
     assert h["WARC-Refers-To-Target-Date"] == "2017-03-04T12:34:56Z"
+
+
+def test_conversion_yaml_roundtrip(spark, media_files, tmp_path):
+    """Close the loop the reference's CLI pair implements: convert ->
+    results YAML (merge-on-write, converter.py:97-115) -> read back ->
+    identical conversions table, in rule order."""
+    from warcit_spark.sources.sidecars import (
+        read_conversions,
+        write_conversions_yaml,
+    )
+
+    files, root = media_files
+    out_dir = str(tmp_path / "rt_conv")
+    planned = dispatch_conversions(files, FILE_TYPES, out_dir, root_dir=root)
+    results = run_conversions(planned)
+    ypath = str(tmp_path / "results" / "conversions.yaml")
+    doc = write_conversions_yaml(results, ypath)
+
+    # reference YAML shape: conversions -> url -> list of entries with
+    # url/output/metadata/type/success, metadata = the rule dict (raw
+    # command template), None fields omitted
+    entry = doc["conversions"]["http://m.test/sub/a.flv"][0]
+    assert entry["type"] == "conversion"
+    assert entry["success"] is True
+    assert entry["metadata"]["command"] == "cp {input} {output}"
+    assert "skip_as_source" not in entry["metadata"]
+
+    back = read_conversions(spark, ypath)
+    orig = {(r.source_url, r.seq, r.url, r.output, r.success, r.rec_type)
+            for r in results.collect()}
+    got = {(r.source_url, r.seq, r.url, r.output, r.success, r.rec_type)
+           for r in back.collect()}
+    assert got == orig
+
+    # merge-on-write: a second write with a new source url keeps the old
+    extra = spark.createDataFrame(
+        [("http://m.test/new.flv", 0, "http://m.test/new.flv.c1", "/o/n.c1",
+          True, "conversion", ("copy1", "c1", "cp {input} {output}", "video/c1", None))],
+        results.schema,
+    )
+    doc2 = write_conversions_yaml(extra, ypath)
+    assert set(doc2["conversions"]) == {
+        "http://m.test/sub/a.flv", "http://m.test/special/b.mp3",
+        "http://m.test/new.flv",
+    }
+
+
+def test_default_conversion_rules_dispatch(spark, tmp_path):
+    """The packaged default rule set dispatches like the reference's
+    default-conversion-rules.yaml: .flv -> 4 rules, .mp4 -> 3, .ra -> 3."""
+    from warcit_spark.sources.sidecars import default_conversion_rules
+
+    rules = default_conversion_rules()
+    files = spark.createDataFrame(
+        [("http://m/v.flv", "/in/v.flv"), ("http://m/v.mp4", "/in/v.mp4"),
+         ("http://m/a.ra", "/in/a.ra"), ("http://m/x.txt", "/in/x.txt")],
+        "url string, filename string",
+    )
+    planned = dispatch_conversions(files, rules["file_types"], str(tmp_path), root_dir="/in")
+    by_url = {}
+    for r in planned.collect():
+        by_url.setdefault(r.url, []).append((r.seq, r.rule_name))
+    assert [n for _, n in sorted(by_url["http://m/v.flv"])] == [
+        "png_poster", "webm", "mp4", "ffv1_flac"]
+    assert [n for _, n in sorted(by_url["http://m/v.mp4"])] == [
+        "png_poster", "webm", "ffv1_flac"]
+    assert [n for _, n in sorted(by_url["http://m/a.ra"])] == [
+        "webm_audio", "mp3", "flac"]
+    assert "http://m/x.txt" not in by_url
+    # the ffmpeg command templates substitute, they don't run here
+    cmds = [r.command for r in planned.collect() if r.rule_name == "mp4"]
+    assert cmds == ["ffmpeg -y -i /in/v.flv -c:v libx264 -pix_fmt yuv420p -c:a aac -strict -2 " + str(tmp_path) + "/in/v.flv.mp4"]

@@ -173,3 +173,29 @@ def test_mapfile_validation(spark, tmp_path_factory):
     only.write_text("file\na.html\n")
     with pytest.raises(MapfileValidationError):
         read_mapfile(spark, str(only))
+
+
+def test_zip_path_auto_resolution(spark, tmp_path_factory):
+    """S4: 'site.zip/inner/prefix' as ONE input string resolves by walking
+    upward to the zip (base.py:63-79)."""
+    from warcit_spark.sources.binary_files import resolve_input, scan_input
+
+    zdir = tmp_path_factory.mktemp("autozip")
+    zpath = str(zdir / "site.zip")
+    with zipfile.ZipFile(zpath, "w") as zp:
+        zp.writestr("www/index.html", "<html>z</html>")
+        zp.writestr("other/skip.txt", "no")
+
+    assert resolve_input(zpath) == ("zip", zpath, "")
+    assert resolve_input(zpath + "/www") == ("zip", zpath, "www/")
+    assert resolve_input(zpath + "/www/deeper") == ("zip", zpath, "www/deeper/")
+    assert resolve_input(str(zdir)) == ("dir", str(zdir), "")
+    assert resolve_input("/nonexistent/nowhere")[0] == "invalid"
+
+    rows = {r.url for r in scan_input(spark, zpath + "/www", "http://z.test/").collect()}
+    assert rows == {"http://z.test/index.html"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        scan_input(spark, "/nonexistent/nowhere", "http://z.test/")

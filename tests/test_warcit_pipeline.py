@@ -91,7 +91,9 @@ def test_mapfile_overrides_url_date_type(spark, site):
 
 def test_full_run_to_warc_file(spark, site, tmp_path):
     out = str(tmp_path / "warc_out")
-    manifest = warcit_run(spark, site, PREFIX, out, charset=None).collect()
+    manifest = warcit_run(
+        spark, site, PREFIX, out, charset=None, one_file=True
+    ).collect()
     assert len(manifest) == 1
     recs = read_warc_records(manifest[0].path)
     # warcinfo first, excluded from the count (warcit.py:444 vs 424)
@@ -110,3 +112,124 @@ def test_full_run_to_warc_file(spark, site, tmp_path):
         r for r in recs if r["headers"].get("WARC-Target-URI", "").endswith("sub/page.html")
     )
     assert page["payload"].decode() == SITE_FILES["sub/page.html"]
+
+
+def test_conversion_workflow_golden_ordering(spark, tmp_path):
+    """Composed --conversions/--transclusions run reproduces the reference's
+    record sequence (test/test_warcit.py:257-265, 290-299): warcinfo,
+    resource, conversions in file order, then the urn:embeds resource."""
+    from warcit_spark.sinks.warc import read_warc_records
+    from warcit_spark.sources.sidecars import (
+        conversions_from_dict,
+        transclusions_from_dict,
+    )
+
+    site = tmp_path / "site" / "videos"
+    site.mkdir(parents=True)
+    (site / "barsandtone.flv").write_bytes(b"FLV\x01fakevideo")
+    outdir = tmp_path / "conv"
+    outdir.mkdir()
+    (outdir / "v.png").write_bytes(b"\x89PNG\r\n\x1a\nfake")
+    (outdir / "v.webm").write_bytes(b"\x1aE\xdf\xa3fake")
+    (outdir / "v.mp4").write_bytes(b"\x00\x00\x00\x18ftypfake")
+
+    flv = "http://www.example.com/videos/barsandtone.flv"
+    conv = conversions_from_dict(spark, {"conversions": {flv: [
+        {"url": flv + ".png", "output": str(outdir / "v.png"), "success": True,
+         "metadata": {"name": "png", "ext": "png", "mime": "image/png"}},
+        {"url": flv + ".webm", "output": str(outdir / "v.webm"), "success": True,
+         "metadata": {"name": "webm", "ext": "webm", "mime": "video/webm"}},
+        {"url": flv + ".mp4", "output": str(outdir / "v.mp4"), "success": True,
+         "metadata": {"name": "mp4", "ext": "mp4", "mime": "video/mp4"}},
+        {"url": flv + ".bad", "output": str(outdir / "missing"), "success": False},
+    ]}})
+    tr = transclusions_from_dict(spark, {"transclusions": {flv: [
+        {"url": "http://www.example.com/containing/page.html",
+         "timestamp": "20190103020000", "selector": "object, embed"},
+    ]}})
+
+    out = str(tmp_path / "w")
+    manifest = warcit_run(
+        spark, str(tmp_path / "site"), "http://www.example.com/", out,
+        one_file=True, conversions=conv, transclusions=tr,
+    ).collect()
+    recs = read_warc_records(manifest[0].path)
+    listing = [
+        (r["headers"]["WARC-Type"], r["headers"].get("WARC-Target-URI"))
+        for r in recs
+    ]
+    assert listing == [
+        ("warcinfo", None),
+        ("resource", flv),
+        ("conversion", flv + ".png"),
+        ("conversion", flv + ".webm"),
+        ("conversion", flv + ".mp4"),
+        ("resource", "urn:embeds:http://www.example.com/containing/page.html"),
+    ]
+    # refer-back id of each conversion == the flv resource's actual record id
+    flv_id = recs[1]["headers"]["WARC-Record-ID"]
+    for r in recs[2:5]:
+        assert r["headers"]["WARC-Refers-To"] == flv_id
+        assert r["headers"]["WARC-Refers-To-Target-URI"] == flv
+        assert r["headers"]["WARC-Refers-To-Target-Date"] == recs[1]["headers"]["WARC-Date"]
+        assert "WARC-JSON-Metadata" in r["headers"]
+    # embeds record carries no refer-back headers (reference sets none)
+    assert "WARC-Refers-To-Target-URI" not in recs[5]["headers"]
+    # embeds timestamp came from the transclusion entry
+    assert recs[5]["headers"]["WARC-Date"] == "2019-01-03T02:00:00Z"
+
+
+def test_mime_method_magic_sniffs_content(spark, tmp_path):
+    """--use-magic slot: extension-less/misnamed files get the sniffed
+    type (warcit/warcit.py:28, 638-640)."""
+    site = tmp_path / "msite"
+    site.mkdir()
+    (site / "noext").write_bytes(b"\x89PNG\r\n\x1a\n" + b"x" * 20)
+    (site / "lying.css").write_bytes(b"GIF89a" + b"y" * 20)
+    (site / "page.bin").write_bytes(b"<!DOCTYPE html><html></html>")
+
+    recs = {
+        r.url: r.content_type
+        for r in files_to_warc_records(
+            spark, str(site), "http://m.test/", mime_method="magic",
+            charset=None,
+        ).collect()
+        if r.record_type == "resource"
+    }
+    assert recs["http://m.test/noext"] == "image/png"
+    assert recs["http://m.test/lying.css"] == "image/gif"
+    assert recs["http://m.test/page.bin"] == "text/html"
+
+
+def test_multipart_default_is_globally_ordered(spark, site, tmp_path):
+    """Default multi-part output: part N holds a contiguous slice of the
+    total order (range partitioning), so concatenating parts in filename
+    order reproduces the one_file record sequence, byte-identically minus
+    warcinfo/partition framing.  Determinism: two runs produce identical
+    listings."""
+    one = str(tmp_path / "one")
+    multi = str(tmp_path / "multi")
+    multi2 = str(tmp_path / "multi2")
+    warcit_run(spark, site, PREFIX, one, charset=None, one_file=True).collect()
+    m1 = warcit_run(spark, site, PREFIX, multi, charset=None, num_parts=4).collect()
+    m2 = warcit_run(spark, site, PREFIX, multi2, charset=None, num_parts=4).collect()
+
+    def listing(paths):
+        out = []
+        for p in sorted(paths):
+            for r in read_warc_records(p):
+                if r["headers"]["WARC-Type"] != "warcinfo":
+                    out.append(
+                        (r["headers"]["WARC-Type"],
+                         r["headers"].get("WARC-Target-URI"))
+                    )
+        return out
+
+    import glob
+
+    single = listing(glob.glob(f"{one}/part-*"))
+    parts1 = listing([r.path for r in m1])
+    parts2 = listing([r.path for r in m2])
+    assert parts1 == single  # same global order across part files
+    assert parts1 == parts2  # deterministic across runs
+    assert len(m1) > 1  # actually split

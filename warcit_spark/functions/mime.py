@@ -60,6 +60,47 @@ def mime_override_expr(url: Column, overrides: dict[str, str]) -> Column:
     return out
 
 
+def sniff_mime_expr(content: Column, buff_size: int = 2048) -> Column:
+    """Content-sniff MIME guess over the first ``buff_size`` bytes — the
+    ``--use-magic magic`` method slot (warcit/warcit.py:28, 638-640).
+
+    libmagic is not in this container, so this is a documented stand-in
+    covering the magic numbers the reference's fixtures exercise plus an
+    HTML/text heuristic; the *slot semantics* (sniff replaces the extension
+    guess when the method is 'magic') exactly mirror _guess_type.
+    Pure expressions — the sniff happens JVM-side on the binary column.
+    """
+    head = F.substring(content, 1, buff_size)
+    head8 = F.substring(content, 1, 8)
+    text_head = F.lower(F.decode(F.substring(content, 1, 256), "UTF-8"))
+    return (
+        F.when(F.startswith(head8, F.lit(b"\x89PNG\r\n\x1a\n")), "image/png")
+        .when(F.startswith(head8, F.lit(b"\xff\xd8\xff")), "image/jpeg")
+        .when(F.startswith(head8, F.lit(b"GIF87a")), "image/gif")
+        .when(F.startswith(head8, F.lit(b"GIF89a")), "image/gif")
+        .when(F.startswith(head8, F.lit(b"%PDF")), "application/pdf")
+        .when(F.startswith(head8, F.lit(b"PK\x03\x04")), "application/zip")
+        .when(F.startswith(head8, F.lit(b"\x1f\x8b")), "application/gzip")
+        .when(F.startswith(head8, F.lit(b"FLV\x01")), "video/x-flv")
+        .when(F.startswith(head8, F.lit(b"RIFF")), "audio/wav")
+        .when(F.startswith(head8, F.lit(b"OggS")), "audio/ogg")
+        .when(F.startswith(head8, F.lit(b"\x1aE\xdf\xa3")), "video/webm")
+        .when(
+            text_head.rlike(r"^\s*(<!doctype html|<html|<head|<body)"),
+            "text/html",
+        )
+        .when(text_head.rlike(r"^\s*<\?xml"), "text/xml")
+        # printable-ASCII head -> plain text (libmagic's coarse fallback)
+        .when(
+            F.length(head) > 0,
+            F.when(
+                ~F.decode(head, "UTF-8").rlike(r"[\x00-\x08\x0e-\x1f]"),
+                F.lit("text/plain"),
+            ).otherwise(F.lit("application/octet-stream")),
+        )
+    )
+
+
 def guess_mime_expr(
     mapfile_ct: Column,
     override_mime: Column,

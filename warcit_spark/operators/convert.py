@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-RULE_FIELDS = ("name", "ext", "command", "mime")
+RULE_FIELDS = ("name", "ext", "command", "mime", "skip_as_source")
 
 
 def dispatch_conversions(
@@ -66,7 +66,8 @@ def dispatch_conversions(
             per_type_rules.append(
                 F.when(matched, F.array(*rules)).otherwise(
                     F.array().cast(
-                        "array<struct<name:string,ext:string,command:string,mime:string>>"
+                        "array<struct<name:string,ext:string,command:string,"
+                        "mime:string,skip_as_source:boolean>>"
                     )
                 )
             )
@@ -78,10 +79,13 @@ def dispatch_conversions(
         )
 
     all_rules = F.flatten(F.array(*per_type_rules))
+    # posexplode: the position is the rule's order across all matching
+    # file_types — the reference's iteration order (converter.py:137-151),
+    # carried as ``seq`` so downstream record emission is file-ordered
     exploded = files.select(
         F.col(url_col).alias("url"),
         F.col(filename_col).alias("filename"),
-        F.explode(all_rules).alias("rule"),
+        F.posexplode(all_rules).alias("seq", "rule"),
     )
 
     # F9 rebase: relpath(input + '.' + ext, root_dir) under
@@ -105,9 +109,14 @@ def dispatch_conversions(
     return exploded.select(
         "url",
         "filename",
+        F.col("seq").cast("int").alias("seq"),
         F.col("rule.name").alias("rule_name"),
         F.col("rule.ext").alias("rule_ext"),
         F.col("rule.mime").alias("rule_mime"),
+        F.col("rule.skip_as_source").alias("rule_skip_as_source"),
+        # the raw template: the reference's YAML results carry the rule's
+        # command, not the substituted invocation (converter.py:171-177)
+        F.col("rule.command").alias("rule_command"),
         F.concat(F.col("url"), F.lit("."), F.col("rule.ext")).alias("conv_url"),
         output_path.alias("output_path"),
         command.alias("command"),
@@ -122,7 +131,8 @@ def run_conversions(planned: DataFrame, dry_run: bool = False) -> DataFrame:
     (the reference logs and continues, converter.py:162-163).
     """
     out_schema = (
-        "source_url string, url string, output string, success boolean, "
+        "source_url string, seq int, url string, output string, "
+        "success boolean, rec_type string, "
         "metadata struct<name:string,ext:string,command:string,mime:string,"
         "skip_as_source:boolean>"
     )
@@ -145,21 +155,28 @@ def run_conversions(planned: DataFrame, dry_run: bool = False) -> DataFrame:
                 rows.append(
                     {
                         "source_url": r.url,
+                        "seq": int(r.seq),
                         "url": r.conv_url,
                         "output": r.output_path,
                         "success": success,
+                        "rec_type": "conversion",
                         "metadata": {
                             "name": r.rule_name,
                             "ext": r.rule_ext,
-                            "command": r.command,
+                            # the rule template (converter.py:172 stores
+                            # the conversion dict, not the invocation)
+                            "command": r.rule_command,
                             "mime": r.rule_mime,
-                            "skip_as_source": None,
+                            "skip_as_source": r.rule_skip_as_source,
                         },
                     }
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["source_url", "url", "output", "success", "metadata"],
+                columns=[
+                    "source_url", "seq", "url", "output", "success",
+                    "rec_type", "metadata",
+                ],
             )
 
     return planned.mapInPandas(fn, out_schema)

@@ -39,21 +39,28 @@ def conversion_records(resources: DataFrame, conversions: DataFrame) -> DataFram
     ``resources`` needs (url, record_id, warc_date); output carries the
     refer-back headers of warcit/warcit.py:569-576.
     """
+    rec_type = (
+        F.col("rec_type") if "rec_type" in conversions.columns else F.lit(None)
+    )
+    seq = F.col("seq") if "seq" in conversions.columns else F.lit(0)
     conv = conversions.where(F.col("success")).select(
         F.col("source_url").alias("url"),
         F.col("url").alias("conv_url"),
         F.col("output").alias("conv_output"),
         F.col("metadata").alias("conv_metadata"),
+        F.coalesce(rec_type, F.lit("conversion")).alias("_rec_type"),
+        seq.cast("int").alias("seq"),
     )
     joined = resources.join(F.broadcast(conv), on="url", how="inner")
     return joined.select(
         F.col("conv_url").alias("url"),
-        F.lit("conversion").alias("record_type"),
+        F.col("_rec_type").alias("record_type"),
         F.col("record_id").alias("refers_to"),
         F.col("url").alias("refers_to_target_uri"),
         F.col("warc_date").alias("refers_to_target_date"),
         F.to_json(F.col("conv_metadata")).alias("json_metadata"),
         F.col("conv_output").alias("source_path"),
+        F.col("seq"),
     )
 
 
@@ -64,15 +71,22 @@ def _formats_json_batch(
     media_url: pd.Series,
     orig_mime: pd.Series,
     formats: pd.Series,
+    metadata_file: pd.Series,
 ) -> pd.Series:
     """Byte-exact reference JSON (converter.py:250-276 + warcit.py:589).
 
     ``formats`` arrives as a list of dict-like structs (converted formats,
     reference order); the original format dict is appended last with
-    ``ext = url.rsplit('.')[-1]`` and optional ``mime``.
+    ``ext = url.rsplit('.')[-1]`` and optional ``mime``.  When
+    ``metadata_file`` is set the file's text is dumped instead — including
+    the reference's quirk of json.dumps on the raw string
+    (converter.py:246-248 then warcit.py:589).
     """
 
-    def build(cu, ts, sel, mu, mime, fmts):
+    def build(cu, ts, sel, mu, mime, fmts, mf):
+        if mf is not None:
+            with open(mf) as fh:
+                return json.dumps(fh.read(), indent=2, sort_keys=True)
         md = {"webpage_url": cu, "webpage_timestamp": str(ts)}
         if sel is not None:
             md["selector"] = sel
@@ -94,7 +108,8 @@ def _formats_json_batch(
         [
             build(*args)
             for args in zip(
-                contain_url, contain_ts, selector, media_url, orig_mime, formats
+                contain_url, contain_ts, selector, media_url, orig_mime,
+                formats, metadata_file,
             )
         ]
     )
@@ -114,8 +129,12 @@ def transclusion_metadata_records(
     tr = transclusions.where(F.col("contain_url").isNotNull())
 
     if conversions is not None:
+        conv_seq = (
+            F.col("seq") if "seq" in conversions.columns else F.lit(0)
+        ).cast("int")
         conv_lists = (
-            conversions.where(F.col("success"))
+            conversions.withColumn("seq", conv_seq)
+            .where(F.col("success"))
             .groupBy(F.col("source_url").alias("media_url"))
             .agg(
                 # collect_list order is nondeterministic after shuffles, and
@@ -151,6 +170,11 @@ def transclusion_metadata_records(
     )
     # pandas_udf is built lazily (needs an active session at wrap time)
     _formats_json_udf = pandas_udf(_formats_json_batch, "string")
+    metadata_file = (
+        F.col("metadata_file")
+        if "metadata_file" in tr.columns
+        else F.lit(None).cast("string")
+    )
     payload = _formats_json_udf(
         F.col("contain_url"),
         F.col("contain_ts"),
@@ -158,7 +182,9 @@ def transclusion_metadata_records(
         F.col("media_url"),
         orig_mime,
         F.col("_formats"),
+        metadata_file,
     )
+    seq = F.col("seq") if "seq" in tr.columns else F.lit(0)
     # WARC-Type is 'resource' like the reference's embeds record
     # (warcit.py:601 create_warc_record(..., 'resource')); 'metadata' only
     # appears in the reference's CSV logfile.
@@ -169,4 +195,6 @@ def transclusion_metadata_records(
         F.lit(TRANSCLUSION_CONTENT_TYPE).alias("content_type"),
         payload.alias("payload_json"),
         F.col("media_url").alias("refers_to_target_uri"),
+        F.col("media_url"),
+        seq.cast("int").alias("seq"),
     )

@@ -30,6 +30,7 @@ from warcit_spark.functions.mime import (
     guess_mime_expr,
     mime_override_expr,
     mimetypes_table,
+    sniff_mime_expr,
     url_extension_expr,
 )
 from warcit_spark.functions.timestamps import iso8601z_expr, normalize_ts14_expr
@@ -37,10 +38,60 @@ from warcit_spark.operators.charset import detect_charsets_batch
 from warcit_spark.functions.mime import charset_suffix_expr
 from warcit_spark.operators.filters import apply_include_exclude
 from warcit_spark.operators.joins import mapfile_suffix_join
+from warcit_spark.operators.records import transclusion_metadata_records
 from warcit_spark.sinks.warc import write_warc_files
 from warcit_spark.sources.binary_files import scan_files
 
 DEFAULT_INDEX_FILES = ("index.html", "index.htm")
+
+
+def _record_ids_batch(record_type, url, warc_date):
+    import pandas as pd
+
+    from warcit_spark.sinks.warc import record_id_for
+
+    return pd.Series(
+        [
+            record_id_for(t, u, d) if u is not None else None
+            for t, u, d in zip(record_type, url, warc_date)
+        ]
+    )
+
+
+def _read_fileinfo_batch(paths):
+    """(path) -> (content bytes, mtime as ISO-8601Z) per Arrow batch.
+
+    Conversion outputs live on a filesystem visible to executors (the same
+    assumption the reference's FileInfo(filename=conv['output']) makes,
+    converter.py:215); missing files yield NULLs rather than failing the
+    stage — the skip-with-warning analog.
+    """
+    import datetime as _dt
+    import os as _os
+
+    import pandas as pd
+
+    contents, mtimes = [], []
+    for p in paths:
+        try:
+            with open(p, "rb") as fh:
+                b = fh.read()
+            iso = _dt.datetime.fromtimestamp(
+                _os.path.getmtime(p), _dt.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        except (OSError, TypeError):
+            b, iso = None, None
+        contents.append(b)
+        mtimes.append(iso)
+    return pd.DataFrame({"content": contents, "mtime_iso": mtimes})
+
+
+_REC_COLS = [
+    "url", "record_type", "warc_date", "content_type", "payload",
+    "payload_digest", "source_uri", "size", "refers_to_target_uri",
+    "refers_to_target_date", "record_id", "refers_to", "json_metadata",
+    "_sort_uri", "_class", "_seq",
+]
 
 
 def files_to_warc_records(
@@ -55,9 +106,23 @@ def files_to_warc_records(
     charset: str | None = "auto",
     fixed_dt: str | None = None,
     index_files: tuple[str, ...] = DEFAULT_INDEX_FILES,
+    conversions: DataFrame | None = None,
+    transclusions: DataFrame | None = None,
+    mime_method: str = "filename",
 ) -> DataFrame:
     """One DataFrame of WARC records: (url, record_type, warc_date,
-    content_type, payload, payload_digest, source_uri, size)."""
+    content_type, payload, payload_digest, source_uri, size, refer-back
+    headers, record_id) plus hidden (_sort_uri, _class, _seq) ordering keys.
+
+    ``conversions``/``transclusions`` (sidecar DataFrames, sources/
+    sidecars.py) compose the reference's --conversions/--transclusions
+    workflow: per written resource, its ``conversion`` records in file
+    order then its ``urn:embeds:`` resource record — the record sequence
+    the reference's own test asserts (test/test_warcit.py:257-299).
+
+    ``mime_method``: 'filename' (extension table) or 'magic' (content
+    sniff of the first 2048 bytes, the --use-magic slot, warcit.py:638-640).
+    """
     files = scan_files(spark, input_dir, url_prefix)
 
     # F1 — before any mime/mapfile work (predicate pushdown, warcit.py:466-475)
@@ -73,7 +138,9 @@ def files_to_warc_records(
             .withColumn("map_ct", F.lit(None).cast("string"))
         )
 
-    # F3 — mime precedence: mapfile ≻ overrides ≻ extension guess ≻ default
+    # F3 — mime precedence: mapfile ≻ overrides ≻ method guess ≻ default.
+    # The method slot is 'filename' (extension table) or 'magic' (content
+    # sniff) — the sniff *replaces* the extension guess, like _guess_type.
     mime_dim = spark.createDataFrame(mimetypes_table(), "_ext string, _mime string")
     files = (
         files.withColumn("_ext", url_extension_expr(F.col("url")))
@@ -85,9 +152,11 @@ def files_to_warc_records(
         if mime_overrides
         else F.lit(None).cast("string")
     )
-    mime = guess_mime_expr(
-        F.col("map_ct"), override, F.col("_mime"), no_xhtml=no_xhtml
-    )
+    if mime_method == "magic":
+        guessed = sniff_mime_expr(F.col("content"))
+    else:
+        guessed = F.col("_mime")
+    mime = guess_mime_expr(F.col("map_ct"), override, guessed, no_xhtml=no_xhtml)
     files = files.withColumn("mime", mime).drop("_mime")
 
     # F5 — charset: detect only for text/* when enabled; suppression rules
@@ -116,6 +185,8 @@ def files_to_warc_records(
         normalize_ts14_expr(F.col("map_timestamp")), fixed,
         iso8601z_expr(F.col("warc_ts")),
     )
+    rid_udf = F.pandas_udf(_record_ids_batch, "string")
+    null_s = F.lit(None).cast("string")
     resources = files.select(
         url.alias("url"),
         F.lit("resource").alias("record_type"),
@@ -125,9 +196,14 @@ def files_to_warc_records(
         F.sha1(F.col("content")).alias("payload_digest"),
         F.concat(F.lit("file://"), F.col("filename")).alias("source_uri"),
         F.col("size"),
-        F.lit(None).cast("string").alias("refers_to_target_uri"),
-        F.lit(None).cast("string").alias("refers_to_target_date"),
-    )
+        null_s.alias("refers_to_target_uri"),
+        null_s.alias("refers_to_target_date"),
+        null_s.alias("refers_to"),
+        null_s.alias("json_metadata"),
+    ).withColumn(
+        "record_id", rid_udf(F.col("record_type"), F.col("url"), F.col("warc_date"))
+    ).withColumn("_sort_uri", F.col("source_uri")) \
+     .withColumn("_class", F.lit(0)).withColumn("_seq", F.lit(0))
 
     # D1 — index revisit: lowercased url ends with /<index file>.  The
     # revisit refers back to the index record it deduplicates
@@ -147,8 +223,135 @@ def files_to_warc_records(
         F.lit(0).cast("long").alias("size"),
         F.col("url").alias("refers_to_target_uri"),
         F.col("warc_date").alias("refers_to_target_date"),
+        null_s.alias("refers_to"),
+        null_s.alias("json_metadata"),
+        null_s.alias("record_id"),
+        F.col("_sort_uri"),
+        F.lit(1).alias("_class"),
+        F.lit(0).alias("_seq"),
     )
-    return resources.unionByName(revisits)
+
+    out = resources.select(*_REC_COLS).unionByName(revisits.select(*_REC_COLS))
+
+    # D2 — conversion records, composed (make_conversions, warcit.py:568-578):
+    # per successful conversion of a *written* resource, a full record over
+    # the conversion's output file, refer-back headers to the original,
+    # emitted in conversion-file (seq) order right after its resource.
+    if conversions is not None:
+        src = resources.select(
+            F.col("url").alias("source_url"),
+            F.col("record_id").alias("_src_rid"),
+            F.col("warc_date").alias("_src_date"),
+            F.col("_sort_uri").alias("_src_sort"),
+        )
+        rec_type = (
+            F.col("rec_type") if "rec_type" in conversions.columns
+            else F.lit(None).cast("string")
+        )
+        seq = (
+            F.col("seq") if "seq" in conversions.columns else F.lit(0)
+        ).cast("int")
+        conv = conversions.where(F.col("success")).select(
+            "source_url",
+            F.col("url").alias("_conv_url"),
+            F.col("output").alias("_output"),
+            F.col("metadata").alias("_md"),
+            F.coalesce(rec_type, F.lit("conversion")).alias("_rec_type"),
+            seq.alias("_cseq"),
+        )
+        fileinfo_udf = F.pandas_udf(
+            _read_fileinfo_batch, "content binary, mtime_iso string"
+        )
+        cj = (
+            src.join(F.broadcast(conv), on="source_url", how="inner")
+            .withColumn("_fi", fileinfo_udf(F.col("_output")))
+            # unreadable output file -> the record is skipped, like the
+            # reference skipping a FileInfo it cannot stat/open
+            .where(F.col("_fi.content").isNotNull())
+            .withColumn("_ext", url_extension_expr(F.col("_conv_url")))
+            .join(F.broadcast(mime_dim), on="_ext", how="left")
+        )
+        conv_override = (
+            mime_override_expr(F.col("_conv_url"), mime_overrides)
+            if mime_overrides
+            else null_s
+        )
+        if mime_method == "magic":
+            conv_guessed = sniff_mime_expr(F.col("_fi.content"))
+        else:
+            conv_guessed = F.col("_mime")
+        conv_mime = guess_mime_expr(null_s, conv_override, conv_guessed,
+                                    no_xhtml=no_xhtml)
+        conv_date = F.coalesce(fixed, F.col("_fi.mtime_iso"))
+        conv_records = cj.select(
+            F.col("_conv_url").alias("url"),
+            F.col("_rec_type").alias("record_type"),
+            conv_date.alias("warc_date"),
+            conv_mime.alias("content_type"),
+            F.col("_fi.content").alias("payload"),
+            F.sha1(F.col("_fi.content")).alias("payload_digest"),
+            F.concat(F.lit("file://"), F.col("_output")).alias("source_uri"),
+            F.coalesce(F.length(F.col("_fi.content")), F.lit(0)).cast("long").alias("size"),
+            F.col("source_url").alias("refers_to_target_uri"),
+            F.col("_src_date").alias("refers_to_target_date"),
+            null_s.alias("record_id"),
+            F.col("_src_rid").alias("refers_to"),
+            F.when(F.col("_md").isNotNull(), F.to_json(F.col("_md"))).alias("json_metadata"),
+            F.col("_src_sort").alias("_sort_uri"),
+            F.lit(2).alias("_class"),
+            F.col("_cseq").alias("_seq"),
+        )
+        out = out.unionByName(conv_records.select(*_REC_COLS))
+
+    # D3 — urn:embeds records, composed (make_transclusion_metadata,
+    # warcit.py:580-618): only for media urls actually written, payload is
+    # the byte-exact formats JSON, no refer-back headers (the reference
+    # sets only Date/Creation-Date on embeds records).
+    if transclusions is not None:
+        media = resources.select(
+            F.col("url").alias("media_url"),
+            F.col("content_type").alias("_orig_ct"),
+            F.col("_sort_uri").alias("_media_sort"),
+        )
+        trj = transclusions.join(F.broadcast(media), on="media_url", how="inner")
+        emb = transclusion_metadata_records(
+            trj, conversions, orig_mime_col="_orig_ct"
+        )
+        emb = emb.join(
+            F.broadcast(media.select("media_url", "_media_sort")),
+            on="media_url",
+            how="inner",
+        )
+        emb_payload = F.encode(F.col("payload_json"), "UTF-8")
+        emb_records = emb.select(
+            "url",
+            "record_type",
+            "warc_date",
+            "content_type",
+            emb_payload.alias("payload"),
+            F.sha1(emb_payload).alias("payload_digest"),
+            null_s.alias("source_uri"),
+            F.length(emb_payload).cast("long").alias("size"),
+            null_s.alias("refers_to_target_uri"),
+            null_s.alias("refers_to_target_date"),
+            null_s.alias("record_id"),
+            null_s.alias("refers_to"),
+            null_s.alias("json_metadata"),
+            F.col("_media_sort").alias("_sort_uri"),
+            F.lit(3).alias("_class"),
+            F.col("seq").alias("_seq"),
+        )
+        out = out.unionByName(emb_records.select(*_REC_COLS))
+
+    # every record gets the sink's deterministic id plan-side, so derived
+    # records' refer-back ids and written ids always agree
+    return out.withColumn(
+        "record_id",
+        F.coalesce(
+            F.col("record_id"),
+            rid_udf(F.col("record_type"), F.col("url"), F.col("warc_date")),
+        ),
+    )
 
 
 def warcit_run(
@@ -158,16 +361,33 @@ def warcit_run(
     out_dir: str,
     mode: str = "xb",
     gzip_records: bool = True,
+    one_file: bool = False,
+    num_parts: int | None = None,
     **kwargs,
 ) -> DataFrame:
-    """The full CLI-equivalent run: records -> single ordered .warc.gz.
+    """The full CLI-equivalent run: records -> ordered .warc.gz part files.
 
-    Deterministic order: (source_uri ASC, record_type ASC) — each file's
-    resource directly followed by its revisit, files in path order (the
-    engine's defined replacement for the reference's enumeration order).
-    Returns the write manifest."""
+    Deterministic total order (the engine's defined replacement for the
+    reference's enumeration order): source file path ASC, then per file
+    resource < revisit < conversions (file order) < embeds — the record
+    sequence the reference's conversion-workflow test asserts
+    (test/test_warcit.py:257-299).
+
+    Default output is range-partitioned multi-part (part file N holds a
+    contiguous slice of the total order, so ``cat part-*`` is the ordered
+    whole) — the shape that scales; ``one_file=True`` is the single-file
+    fidelity mode matching the reference CLI.  Returns the write manifest.
+    """
     records = files_to_warc_records(spark, input_dir, url_prefix, **kwargs)
-    ordered = records.coalesce(1).sortWithinPartitions(
-        F.col("source_uri").asc(), F.col("record_type").asc()
-    )
+    sort_cols = [
+        F.col("_sort_uri").asc(), F.col("_class").asc(), F.col("_seq").asc()
+    ]
+    if one_file:
+        ordered = records.coalesce(1).sortWithinPartitions(*sort_cols)
+    else:
+        n = num_parts or spark.sparkContext.defaultParallelism
+        ordered = records.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    ordered = ordered.drop("_sort_uri", "_class", "_seq")
     return write_warc_files(ordered, out_dir, gzip_records=gzip_records, mode=mode)

@@ -33,6 +33,13 @@ from pyspark.sql import DataFrame
 SOFTWARE = "warcit-spark/0.1.0"
 _NAMESPACE = uuid.uuid5(uuid.NAMESPACE_URL, "warcit-spark")
 
+
+def record_id_for(record_type: str, url: str, warc_date: str) -> str:
+    """The sink's deterministic WARC-Record-ID for a record — exposed so
+    derived records (conversions) can compute refer-back ids plan-side."""
+    rid = uuid.uuid5(_NAMESPACE, f"{record_type}:{url}:{warc_date}")
+    return f"<urn:uuid:{rid}>"
+
 REQUIRED_COLS = ("url", "record_type", "warc_date", "content_type", "payload")
 
 _HEX40 = frozenset("0123456789abcdef")
@@ -110,6 +117,9 @@ def write_warc_files(
     has_digest = "payload_digest" in records.columns
     has_refers = "refers_to_target_uri" in records.columns
     has_refers_date = "refers_to_target_date" in records.columns
+    has_record_id = "record_id" in records.columns
+    has_refers_to = "refers_to" in records.columns
+    has_json_meta = "json_metadata" in records.columns
     suffix = ".warc.gz" if gzip_records else ".warc"
     # append runs get a deterministic generation tag derived from the
     # directory state (not a random uuid — reproducible re-runs)
@@ -126,28 +136,37 @@ def write_warc_files(
         name = f"part-{run_tag}{pid:05d}{suffix}"
         path = os.path.join(out_dir, name)
         n = 0
-        with open(path, "wb") as fh:
+        fh = None  # opened on first record: empty partitions write no file
+        try:
 
             def emit(raw: bytes) -> None:
                 fh.write(gzip.compress(raw, 6) if gzip_records else raw)
 
-            emit(_warcinfo_bytes(name, pid))
             for pdf in batches:
                 for r in pdf.itertuples(index=False):
+                    if fh is None:
+                        fh = open(path, "wb")
+                        emit(_warcinfo_bytes(name, pid))
                     payload = bytes(r.payload) if r.payload is not None else b""
-                    rid = uuid.uuid5(
-                        _NAMESPACE, f"{r.record_type}:{r.url}:{r.warc_date}"
-                    )
+                    if has_record_id and getattr(r, "record_id", None):
+                        rid_header = r.record_id
+                    else:
+                        rid = uuid.uuid5(
+                            _NAMESPACE, f"{r.record_type}:{r.url}:{r.warc_date}"
+                        )
+                        rid_header = f"<urn:uuid:{rid}>"
                     headers = [
                         ("WARC-Target-URI", r.url),
                         ("WARC-Date", r.warc_date),
-                        ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+                        ("WARC-Record-ID", rid_header),
                         ("Content-Type", r.content_type),
                     ]
                     if has_digest and getattr(r, "payload_digest", None):
                         headers.append(
                             ("WARC-Payload-Digest", _digest_header(r.payload_digest))
                         )
+                    if has_refers_to and getattr(r, "refers_to", None):
+                        headers.append(("WARC-Refers-To", r.refers_to))
                     if has_refers and getattr(r, "refers_to_target_uri", None):
                         headers.append(
                             ("WARC-Refers-To-Target-URI", r.refers_to_target_uri)
@@ -156,8 +175,15 @@ def write_warc_files(
                         headers.append(
                             ("WARC-Refers-To-Target-Date", r.refers_to_target_date)
                         )
+                    if has_json_meta and getattr(r, "json_metadata", None):
+                        headers.append(("WARC-JSON-Metadata", r.json_metadata))
                     emit(_record_bytes(r.record_type, headers, payload))
                     n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        if fh is None:
+            return
         yield pd.DataFrame(
             {"path": [path], "n_records": [n], "bytes": [os.path.getsize(path)]}
         )

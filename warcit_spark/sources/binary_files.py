@@ -105,6 +105,53 @@ def scan_zip(
     )
 
 
+def resolve_input(input_: str) -> tuple[str, str, str]:
+    """S4: classify one input string the way the reference's
+    ``parse_filename`` does (base.py:63-79): walk upward from the full
+    path until an existing file is hit; a ``.zip`` file with trailing
+    segments yields (``zip``, zip_path, inner_prefix).
+
+    Returns (kind, path, inner_prefix) with kind in
+    {'dir', 'file', 'zip', 'invalid'}; inner_prefix carries a trailing
+    '/' when non-empty so it prunes whole zip subtrees.
+    """
+    import os
+
+    if os.path.isdir(input_):
+        return "dir", input_, ""
+    zip_path: list[str] = []
+    filename = input_
+    while filename:
+        if os.path.isfile(filename):
+            if filename.endswith(".zip") and zipfile.is_zipfile(filename):
+                prefix = "/".join(zip_path)
+                if prefix:
+                    prefix += "/"
+                return "zip", filename, prefix
+            if not zip_path:
+                return "file", filename, ""
+            return "invalid", input_, ""
+        if os.path.isdir(filename):
+            return "invalid", input_, ""
+        zip_path.insert(0, os.path.basename(filename))
+        parent = os.path.dirname(filename)
+        if parent == filename:
+            break
+        filename = parent
+    return "invalid", input_, ""
+
+
+def scan_input(spark: SparkSession, input_: str, url_prefix: str) -> DataFrame:
+    """Scan one input string, resolving ``site.zip/inner/prefix`` forms
+    (S1-S5 dispatch, the iter_inputs analog, base.py:34-61)."""
+    kind, path, prefix = resolve_input(input_)
+    if kind == "dir" or kind == "file":
+        return scan_files(spark, path, url_prefix)
+    if kind == "zip":
+        return scan_zip(spark, path, url_prefix, inner_prefix=prefix)
+    raise FileNotFoundError(f'"{input_}" not a valid file, directory, or zip path')
+
+
 def union_scans(dfs: list[DataFrame]) -> DataFrame:
     """S11: multi-input union (warcit/warcit.py:44-46)."""
     import functools
