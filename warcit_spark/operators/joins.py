@@ -10,15 +10,15 @@ reference's match semantics.
 - J3 transclusions equi-join (converter.py:232-238): inner join on media
   url; rows missing the contain-url are skipped.
 
-Physical shapes: J1 is a broadcast nested-loop (theta) join — correct and
-cheap because the mapfile side is small by construction (the reference
-materializes it fully in RAM, warcit/warcit.py:303-304).  J2/J3 are
-broadcast hash equi-joins.
+Physical shapes: J1 is an in-row first-match scan over an array literal of
+the mapfile (zero shuffle; the mapfile side is small by construction — the
+reference materializes it fully in RAM, warcit/warcit.py:303-304).  J2/J3
+are broadcast hash equi-joins.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -32,35 +32,53 @@ def mapfile_suffix_join(
     filename_col: str = "filename",
     strict: bool = True,
 ) -> DataFrame:
-    """J1: left theta-join files against the mapfile on suffix match.
+    """J1: left suffix-lookup of files against the mapfile, first match
+    (mapfile order) wins.
 
     Output: ``files.*`` plus ``map_url``, ``map_timestamp``, ``map_ct``
-    (NULL when unmatched).  ``strict`` enforces the row-uniqueness
-    constraint by failing the job, exactly like the reference.
+    (NULL when unmatched).  ``strict`` enforces the reference's
+    row-uniqueness constraint — a mapfile row matching a second file fails
+    the job (warcit/warcit.py:335-337).
+
+    Physical shape: the mapfile is driver-RAM-small by construction (the
+    reference loads it fully, warcit.py:303-304), so the lookup is an
+    in-row scan of an array literal — ``filter``/``element_at`` inside
+    whole-stage codegen, ZERO shuffle of the files relation (the previous
+    formulation's first-match window repartitioned every file by name).
+    The strict check is one map-side-combined count over the matched
+    indices, not a second join materialization.
     """
-    mf = mapfile.select(
-        F.col("file").alias("_mf_file"),
-        F.col("URL").alias("map_url") if "URL" in mapfile.columns else F.lit(None).alias("map_url"),
-        F.col("timestamp").alias("map_timestamp") if "timestamp" in mapfile.columns else F.lit(None).alias("map_timestamp"),
-        F.col("Content-Type").alias("map_ct") if "Content-Type" in mapfile.columns else F.lit(None).alias("map_ct"),
-    ).withColumn("_mf_idx", F.monotonically_increasing_id())
-
-    joined = files.join(
-        F.broadcast(mf), F.col(filename_col).endswith(F.col("_mf_file")), "left"
+    cols = mapfile.columns
+    rows = mapfile.withColumn("_i", F.monotonically_increasing_id()).orderBy(
+        "_i"
+    ).collect()
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.lit(r["file"]).alias("file"),
+                F.lit(r["URL"] if "URL" in cols else None).cast("string").alias("url"),
+                F.lit(r["timestamp"] if "timestamp" in cols else None).cast("string").alias("ts"),
+                F.lit(r["Content-Type"] if "Content-Type" in cols else None).cast("string").alias("ct"),
+            )
+            for i, r in enumerate(rows)
+        ]
+    )
+    fname = F.col(filename_col)
+    # try_element_at: NULL on no match (ANSI element_at throws on empty)
+    first = F.try_element_at(F.filter(entries, lambda e: fname.endswith(e["file"])), F.lit(1))
+    out = files.select(
+        "*",
+        first["url"].alias("map_url"),
+        first["ts"].alias("map_timestamp"),
+        first["ct"].alias("map_ct"),
+        first["idx"].alias("_mf_idx"),
+        first["file"].alias("_mf_file"),
     )
 
-    # first-matching-row-wins for a file: min mapfile index per file
-    w = Window.partitionBy(filename_col).orderBy(F.col("_mf_idx").asc_nulls_last())
-    first = (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-
-    if strict:
-        # a mapfile row winning two different files is a job failure
+    if strict and rows:
         dupes = (
-            first.where(F.col("_mf_idx").isNotNull())
+            out.where(F.col("_mf_idx").isNotNull())
             .groupBy("_mf_idx", "_mf_file")
             .count()
             .where(F.col("count") > 1)
@@ -72,7 +90,7 @@ def mapfile_suffix_join(
                 + ", ".join(f"{r['_mf_file']} (x{r['count']})" for r in dupes)
             )
 
-    return first.drop("_mf_idx", "_mf_file")
+    return out.drop("_mf_idx", "_mf_file")
 
 
 def conversions_join(records: DataFrame, conversions: DataFrame) -> DataFrame:

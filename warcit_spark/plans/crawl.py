@@ -53,12 +53,15 @@ class CrawlConfig:
     n_salt: int = 16               # politeness pre-rank salt slots
     n_lineage_partitions: int = 32
     index_suffixes: tuple[str, ...] = DEFAULT_INDEX_SUFFIXES
-    # broadcast the selected frontier into the fetch join (pages side never
-    # shuffles).  A plain LEFT join cannot broadcast its preserved side, so
-    # the round flips it to pages RIGHT OUTER broadcast(selected).  Turn off
-    # when a round's selection outgrows executor memory — then the right
-    # plan is a sort-merge join against url-bucketed pages.
-    broadcast_fetch: bool = True
+    # fetch-join strategy.  False (default): sort-merge join against the
+    # pages oracle — the scale path when pages are provided url-bucketed/
+    # pre-partitioned (bucketize or ``repartition(N, 'url').persist()``
+    # them once; then only the selection shuffles per round).  Measured
+    # faster than broadcasting at bench scale (BENCH/ANALYSIS.md remedy 3).
+    # True: flip to pages RIGHT OUTER broadcast(selected) — the
+    # small-corpus / un-bucketed-pages mode; a round's selection must fit
+    # in executor memory.
+    broadcast_fetch: bool = False
     # Bloom-prefilter the seen anti-join (plans/bloom.py): definitely-new
     # candidates bypass the join; correctness unchanged (no false
     # negatives — asserted by tests).  Pays one extra action per round to
@@ -277,20 +280,34 @@ def crawl_round(
         if seen_prev is not None
         else seen_delta.select("url")
     )
-    # one anti-join against (seen ∪ deferred) instead of two passes
-    not_new = seen_all.unionByName(deferred.select("url"))
-    if cfg.use_bloom:
-        from warcit_spark.plans.bloom import (
-            bloom_prefiltered_anti_join,
-            build_bloom,
-        )
-
-        bloom = build_bloom(not_new, "url", n_bits=cfg.bloom_bits)
-        survivors = bloom_prefiltered_anti_join(
-            deduped, not_new, bloom.tobytes(), key="url", n_bits=cfg.bloom_bits
-        )
+    if state.seen_buckets > 0 and not cfg.use_bloom:
+        # bucketed-seen layout: keep the big seen table OUT of the union
+        # (a union would destroy its bucketing) and anti-join it
+        # separately — the seen scan is co-partitioned (Bucketed: true,
+        # zero Exchange on the seen side); only round-sized frames
+        # (candidates, this round's delta, deferred) ever shuffle, at
+        # O(delta), never O(|seen|).  This is what survives 10^10 URLs.
+        round_sized = seen_delta.select("url").unionByName(deferred.select("url"))
+        survivors = deduped.join(round_sized, on="url", how="left_anti")
+        if seen_prev is not None:
+            survivors = survivors.join(
+                seen_prev.select("url"), on="url", how="left_anti"
+            )
     else:
-        survivors = deduped.join(not_new, on="url", how="left_anti")
+        # one anti-join against (seen ∪ deferred) instead of two passes
+        not_new = seen_all.unionByName(deferred.select("url"))
+        if cfg.use_bloom:
+            from warcit_spark.plans.bloom import (
+                bloom_prefiltered_anti_join,
+                build_bloom,
+            )
+
+            bloom = build_bloom(not_new, "url", n_bits=cfg.bloom_bits)
+            survivors = bloom_prefiltered_anti_join(
+                deduped, not_new, bloom.tobytes(), key="url", n_bits=cfg.bloom_bits
+            )
+        else:
+            survivors = deduped.join(not_new, on="url", how="left_anti")
     new_urls = (
         survivors
         .select(

@@ -25,6 +25,7 @@ change.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -36,10 +37,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 TABLES = ("frontier", "seen", "fetched", "lineage")
 
+SEEN_COLS = ("url", "host", "reason", "round_seen")
+
 
 @dataclass
 class CrawlState:
     root: str
+    # >0: the seen table is written url-hash-bucketed (Hive-style bucketed
+    # parquet, the no-Iceberg analog of ``bucket(N, url)``), so the
+    # per-round anti-join scans seen co-partitioned — ZERO exchange on the
+    # seen side; only the O(round-delta) candidate side shuffles.  This is
+    # the 10^10-URL layout: without it every round re-shuffles the full
+    # seen set.  0 = plain round-delta parquet (fixture scale).
+    seen_buckets: int = 0
 
     def __post_init__(self) -> None:
         os.makedirs(self.root, exist_ok=True)
@@ -75,6 +85,50 @@ class CrawlState:
     def delta_path(self, table: str, round_id: int) -> str:
         return os.path.join(self.root, table, f"round={round_id}")
 
+    # ---------------------------------------------------- bucketed seen table
+    def _seen_table_name(self) -> str:
+        return "seen_b_" + hashlib.md5(self.root.encode()).hexdigest()[:12]
+
+    def _seen_location(self) -> str:
+        return os.path.join(self.root, "seen_bucketed")
+
+    def _ensure_seen_table(self, spark: SparkSession) -> str:
+        """Register the bucketed seen table in this session's catalog
+        (idempotent; re-registers over existing files after a restart)."""
+        name = self._seen_table_name()
+        if not spark.catalog.tableExists(name) and os.path.isdir(
+            self._seen_location()
+        ):
+            spark.sql(
+                f"CREATE TABLE {name} "
+                "(url STRING, host STRING, reason STRING, round_seen INT) "
+                "USING PARQUET CLUSTERED BY (url) SORTED BY (url) "
+                f"INTO {self.seen_buckets} BUCKETS "
+                f"LOCATION '{self._seen_location()}'"
+            )
+        return name
+
+    def _write_seen_bucketed(self, df: DataFrame, round_id: int) -> None:
+        """Append one round's seen delta, bucketed by url.
+
+        Append-only + duplicate-tolerant: the anti-join treats seen as a
+        set, and reads filter ``round_seen <= committed``, so a crashed
+        (uncommitted) append needs no cleanup — re-running the round just
+        appends the same rows again, invisibly.
+        """
+        spark = df.sparkSession
+        name = self._ensure_seen_table(spark)
+        (
+            df.select(*SEEN_COLS)
+            .write.format("parquet")
+            .bucketBy(self.seen_buckets, "url")
+            .sortBy("url")
+            .option("path", self._seen_location())
+            .mode("append")
+            .saveAsTable(name)
+        )
+        spark.catalog.refreshTable(name)
+
     def write_delta(self, df: DataFrame, table: str, round_id: int) -> None:
         """Write one round's delta for a table.  ``overwrite`` keeps replay
         idempotent: a crashed, uncommitted round is silently rewritten.
@@ -83,6 +137,9 @@ class CrawlState:
         directory name (``round=<k>``) and re-inferred at read time, so it
         is stripped from the physical files.
         """
+        if table == "seen" and self.seen_buckets > 0:
+            self._write_seen_bucketed(df, round_id)
+            return
         if "round" in df.columns:
             df = df.drop("round")
         df.write.mode("overwrite").parquet(self.delta_path(table, round_id))
@@ -99,6 +156,13 @@ class CrawlState:
             upto_round = self.committed_round()
         if upto_round < 0:
             return None
+        if table == "seen" and self.seen_buckets > 0:
+            if not os.path.isdir(self._seen_location()):
+                return None
+            name = self._ensure_seen_table(spark)
+            from pyspark.sql import functions as F
+
+            return spark.table(name).where(F.col("round_seen") <= upto_round)
         base = os.path.join(self.root, table)
         if not os.path.isdir(base):
             return None
