@@ -174,12 +174,13 @@ def crawl_round(
     """
     if mime_dim is None:
         mime_dim = _mime_dim(spark)
-    frontier = state.read_table(spark, "frontier", upto_round=round_id)
+    # single-delta read: the round's frontier is one partition directory;
+    # unioning history and filtering would grow the analyzed plan (and the
+    # driver's serial planning time) linearly with crawl length
+    frontier = state.read_round_delta(spark, "frontier", round_id)
     if frontier is None:
         raise RuntimeError(f"no frontier delta for round {round_id}")
-    frontier = frontier.where(F.col("round") == round_id).select(
-        "url", "host", "priority", "round_added"
-    )
+    frontier = frontier.select("url", "host", "priority", "round_added")
     frontier = frontier.persist()
     n_frontier = frontier.count()
     if n_frontier == 0:
@@ -219,7 +220,13 @@ def crawl_round(
     # left-join semantics (every selected URL yields a row) with the SMALL
     # side broadcast: pages RIGHT OUTER broadcast(selected).  The wide pages
     # relation is streamed in place — never shuffled, never broadcast.
-    pages_r = pages.withColumnRenamed("url", "_purl")
+    # column-prune the pages side to what the round consumes (url for the
+    # join, warc_ts for dates, html for digests/links): text/lang would
+    # ride the join, the persist, and every downstream scan for nothing —
+    # at 4M+ cached pages that is gigabytes of memory bandwidth per round
+    pages_r = pages.select("url", "warc_ts", "html").withColumnRenamed(
+        "url", "_purl"
+    )
     sel_side = F.broadcast(selected) if cfg.broadcast_fetch else selected
     fetched = (
         pages_r.join(sel_side, F.col("_purl") == selected["url"], "right_outer")
@@ -232,8 +239,6 @@ def crawl_round(
             "rank_in_host",
             "warc_ts",
             "html",
-            "text",
-            "lang",
             F.col("warc_ts").isNotNull().alias("fetched"),
             F.when(F.col("warc_ts").isNotNull(), F.lit("fetched"))
             .otherwise(F.lit("missing"))
@@ -381,13 +386,23 @@ def crawl_round(
     }
 
     # ---- writes (deltas first, marker last = atomic commit) ----------------
-    state.write_delta(seen_delta, "seen", round_id)
-    state.write_delta(records, "fetched", round_id)
-    state.write_delta(next_frontier, "frontier", round_id + 1)
+    # the four delta writes are independent jobs over already-cached
+    # frames; concurrent driver threads overlap their scheduling + IO
+    # (a serial floor that otherwise does not shrink with executors)
     lineage_out = spark.createDataFrame(lin_rows, lineage.schema).withColumn(
         "dupes_dropped", F.lit(n_links - n_new).cast("long")
     )
-    state.write_delta(lineage_out, "lineage", round_id)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [
+            pool.submit(state.write_delta, seen_delta, "seen", round_id),
+            pool.submit(state.write_delta, records, "fetched", round_id),
+            pool.submit(state.write_delta, next_frontier, "frontier", round_id + 1),
+            pool.submit(state.write_delta, lineage_out, "lineage", round_id),
+        ]
+        for f in futures:
+            f.result()  # re-raise any write failure before committing
     state.commit_round(round_id, summary)
 
     for df in (frontier, pre, ranked, fetched, candidates, new_urls):

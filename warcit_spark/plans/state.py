@@ -119,7 +119,11 @@ class CrawlState:
         spark = df.sparkSession
         name = self._ensure_seen_table(spark)
         (
+            # repartition on url with N partitions aligns tasks to buckets
+            # (same murmur3 hash both places): one file per bucket per
+            # round instead of tasks x buckets small files
             df.select(*SEEN_COLS)
+            .repartition(self.seen_buckets, "url")
             .write.format("parquet")
             .bucketBy(self.seen_buckets, "url")
             .sortBy("url")
@@ -143,6 +147,18 @@ class CrawlState:
         if "round" in df.columns:
             df = df.drop("round")
         df.write.mode("overwrite").parquet(self.delta_path(table, round_id))
+
+    def read_round_delta(
+        self, spark: SparkSession, table: str, round_id: int
+    ) -> DataFrame | None:
+        """Read exactly one round's delta (no union over history, no
+        filter): the plan stays O(1) in crawl length instead of growing a
+        unioned scan per round — per-round Catalyst analysis time is a
+        serial cost that does not shrink with executors."""
+        path = self.delta_path(table, round_id)
+        if not os.path.isdir(path):
+            return None
+        return spark.read.parquet(path)
 
     def read_table(
         self, spark: SparkSession, table: str, upto_round: int | None = None
