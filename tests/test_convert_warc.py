@@ -265,3 +265,33 @@ def test_default_conversion_rules_dispatch(spark, tmp_path):
     # the ffmpeg command templates substitute, they don't run here
     cmds = [r.command for r in planned.collect() if r.rule_name == "mp4"]
     assert cmds == ["ffmpeg -y -i /in/v.flv -c:v libx264 -pix_fmt yuv420p -c:a aac -strict -2 " + str(tmp_path) + "/in/v.flv.mp4"]
+
+
+def test_warcinfo_cmdline_field(spark, tmp_path, media_files):
+    """warcinfo carries the cmdline field like make_warcinfo
+    (warcit.py:450-462)."""
+    df = spark.createDataFrame(
+        [("http://w.test/x", "resource", "2017-01-01T00:00:00Z", "text/html", b"x")],
+        "url string, record_type string, warc_date string, content_type string, payload binary",
+    )
+    out = str(tmp_path / "wcmd")
+    m = write_warc_files(df.coalesce(1), out, cmdline="warcit-spark http://w.test/ ./site").collect()
+    recs = read_warc_records(m[0].path)
+    assert b"cmdline: warcit-spark http://w.test/ ./site" in recs[0]["payload"]
+
+
+def test_run_conversions_capture_output(spark, media_files, tmp_path):
+    """--convert-stdout analog: per-command combined output as a column
+    (converter.py:118-134)."""
+    files, root = media_files
+    rules = [{"ext": ".flv", "conversion_rules": [
+        {"name": "echo", "ext": "e1", "command": "echo hello {input}", "mime": "t/e"},
+    ]}]
+    planned = dispatch_conversions(files, rules, str(tmp_path / "cv"), root_dir=root)
+    out = run_conversions(planned, capture_output=True).collect()
+    assert len(out) == 1
+    assert out[0].success
+    assert out[0].convert_log.startswith("hello ")
+    # without capture the column is absent (schema unchanged for old callers)
+    out2 = run_conversions(planned).collect()
+    assert "convert_log" not in out2[0].__fields__

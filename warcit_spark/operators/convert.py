@@ -123,12 +123,19 @@ def dispatch_conversions(
     )
 
 
-def run_conversions(planned: DataFrame, dry_run: bool = False) -> DataFrame:
+def run_conversions(
+    planned: DataFrame, dry_run: bool = False, capture_output: bool = False
+) -> DataFrame:
     """Execute the planned commands (X1).  Returns the conversions table
-    shape consumed by J2/D2: (source_url, url, output, success, metadata).
+    shape consumed by J2/D2: (source_url, seq, url, output, success,
+    rec_type, metadata[, convert_log]).
 
     dry_run skips execution and reports success=false without side effects
     (the reference logs and continues, converter.py:162-163).
+    ``capture_output`` is the distributed analog of the reference's
+    ``--convert-stdout`` file (converter.py:118-134): each command's
+    combined stdout+stderr comes back as a ``convert_log`` column — log
+    as data instead of one driver-local file.
     """
     out_schema = (
         "source_url string, seq int, url string, output string, "
@@ -136,47 +143,61 @@ def run_conversions(planned: DataFrame, dry_run: bool = False) -> DataFrame:
         "metadata struct<name:string,ext:string,command:string,mime:string,"
         "skip_as_source:boolean>"
     )
+    if capture_output:
+        out_schema += ", convert_log string"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                log = None
                 if dry_run:
                     success = False
                 else:
                     os.makedirs(os.path.dirname(r.output_path), exist_ok=True)
                     try:
-                        success = (
-                            subprocess.call(r.command.split(" "), shell=False)
-                            == 0
-                        )
-                    except OSError:
+                        if capture_output:
+                            proc = subprocess.run(
+                                r.command.split(" "), shell=False,
+                                capture_output=True, text=True,
+                            )
+                            success = proc.returncode == 0
+                            log = proc.stdout + proc.stderr
+                        else:
+                            success = (
+                                subprocess.call(r.command.split(" "), shell=False)
+                                == 0
+                            )
+                    except OSError as e:
                         success = False
-                rows.append(
-                    {
-                        "source_url": r.url,
-                        "seq": int(r.seq),
-                        "url": r.conv_url,
-                        "output": r.output_path,
-                        "success": success,
-                        "rec_type": "conversion",
-                        "metadata": {
-                            "name": r.rule_name,
-                            "ext": r.rule_ext,
-                            # the rule template (converter.py:172 stores
-                            # the conversion dict, not the invocation)
-                            "command": r.rule_command,
-                            "mime": r.rule_mime,
-                            "skip_as_source": r.rule_skip_as_source,
-                        },
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "source_url", "seq", "url", "output", "success",
-                    "rec_type", "metadata",
-                ],
-            )
+                        if capture_output:
+                            log = str(e)
+                row = {
+                    "source_url": r.url,
+                    "seq": int(r.seq),
+                    "url": r.conv_url,
+                    "output": r.output_path,
+                    "success": success,
+                    "rec_type": "conversion",
+                    "metadata": {
+                        "name": r.rule_name,
+                        "ext": r.rule_ext,
+                        # the rule template (converter.py:172 stores
+                        # the conversion dict, not the invocation)
+                        "command": r.rule_command,
+                        "mime": r.rule_mime,
+                        "skip_as_source": r.rule_skip_as_source,
+                    },
+                }
+                if capture_output:
+                    row["convert_log"] = log
+                rows.append(row)
+            cols = [
+                "source_url", "seq", "url", "output", "success",
+                "rec_type", "metadata",
+            ]
+            if capture_output:
+                cols.append("convert_log")
+            yield pd.DataFrame(rows, columns=cols)
 
     return planned.mapInPandas(fn, out_schema)

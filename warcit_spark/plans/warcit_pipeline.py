@@ -390,4 +390,8 @@ def warcit_run(
             *sort_cols
         )
     ordered = ordered.drop("_sort_uri", "_class", "_seq")
-    return write_warc_files(ordered, out_dir, gzip_records=gzip_records, mode=mode)
+    # warcinfo cmdline: the CLI-equivalent invocation (warcit.py:454)
+    cmdline = f"warcit-spark {url_prefix} {input_dir}"
+    return write_warc_files(
+        ordered, out_dir, gzip_records=gzip_records, mode=mode, cmdline=cmdline
+    )

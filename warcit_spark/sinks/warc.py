@@ -72,12 +72,15 @@ def _record_bytes(
     return b"".join(head_lines) + payload + b"\r\n\r\n"
 
 
-def _warcinfo_bytes(filename: str, partition_id: int) -> bytes:
-    fields = (
-        f"software: {SOFTWARE}\r\n"
-        "format: WARC File Format 1.0\r\n"
-        f"partition: {partition_id}\r\n"
-    ).encode()
+def _warcinfo_bytes(filename: str, partition_id: int, cmdline: str | None = None) -> bytes:
+    """warcinfo manifest fields: software/format like the reference's
+    make_warcinfo (warcit/warcit.py:450-462, incl. its cmdline field),
+    plus the partition id (this sink's multi-part analog of one file)."""
+    fields = f"software: {SOFTWARE}\r\nformat: WARC File Format 1.0\r\n"
+    if cmdline:
+        fields += f"cmdline: {cmdline}\r\n"
+    fields += f"partition: {partition_id}\r\n"
+    fields = fields.encode()
     rid = uuid.uuid5(_NAMESPACE, f"warcinfo:{filename}")
     return _record_bytes(
         "warcinfo",
@@ -91,7 +94,11 @@ def _warcinfo_bytes(filename: str, partition_id: int) -> bytes:
 
 
 def write_warc_files(
-    records: DataFrame, out_dir: str, gzip_records: bool = True, mode: str = "xb"
+    records: DataFrame,
+    out_dir: str,
+    gzip_records: bool = True,
+    mode: str = "xb",
+    cmdline: str | None = None,
 ) -> DataFrame:
     """Write records to ``out_dir/part-<pid>.warc[.gz]``.
 
@@ -146,7 +153,7 @@ def write_warc_files(
                 for r in pdf.itertuples(index=False):
                     if fh is None:
                         fh = open(path, "wb")
-                        emit(_warcinfo_bytes(name, pid))
+                        emit(_warcinfo_bytes(name, pid, cmdline))
                     payload = bytes(r.payload) if r.payload is not None else b""
                     if has_record_id and getattr(r, "record_id", None):
                         rid_header = r.record_id
