@@ -123,6 +123,37 @@ def test_warc_mode_semantics(spark, tmp_path):
     assert len(os.listdir(out)) == 1
 
 
+def test_warc_append_generation_tags_never_collide(spark, tmp_path):
+    """Append tag = max existing generation + 1 (parsed from filenames), so
+    a re-run after a partially-failed append cannot silently overwrite a
+    prior generation the way a plain part-count could."""
+    out = str(tmp_path / "warcs_gen")
+    df = _records_df(spark).coalesce(1)
+    write_warc_files(df, out).collect()                      # part-00000
+    write_warc_files(df, out, mode="ab").collect()           # part-g0001-...
+    names1 = sorted(os.listdir(out))
+    assert any(n.startswith("part-g0001-") for n in names1)
+    # simulate a partial failure: an extra stray file of a LATER generation
+    with open(os.path.join(out, "part-g0007-99999.warc.gz"), "wb"):
+        pass
+    write_warc_files(df, out, mode="ab").collect()           # must pick g0008
+    names2 = set(os.listdir(out))
+    assert any(n.startswith("part-g0008-") for n in names2)
+    assert names2 >= set(names1)  # nothing overwritten/removed
+
+
+def test_warc_no_warcinfo_toggle(spark, tmp_path):
+    """--no-warcinfo (warcit.py:93-96): first record is the resource itself
+    and record count drops by the preamble."""
+    out = str(tmp_path / "warcs_nowi")
+    manifest = write_warc_files(
+        _records_df(spark).coalesce(1), out, warcinfo=False
+    ).collect()
+    recs = read_warc_records(manifest[0].path)
+    assert len(recs) == 2
+    assert recs[0]["headers"]["WARC-Type"] == "resource"
+
+
 def test_warc_deterministic_record_ids(spark, tmp_path):
     a = write_warc_files(_records_df(spark).coalesce(1), str(tmp_path / "w1")).collect()
     b = write_warc_files(_records_df(spark).coalesce(1), str(tmp_path / "w2")).collect()

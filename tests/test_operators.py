@@ -103,6 +103,63 @@ def test_mapfile_row_matching_twice_fails_job(spark):
         mapfile_suffix_join(files, mapfile)
 
 
+def test_mapfile_empty_returns_null_columns(spark):
+    """0-row mapfile: NULL map_* columns, like the broadcast-join era (the
+    literal plan would build array<void> and fail field extraction)."""
+    files = spark.createDataFrame([("/d/a.html",)], ["filename"])
+    mapfile = spark.createDataFrame(
+        [], "file string, URL string, timestamp string, `Content-Type` string"
+    )
+    out = mapfile_suffix_join(files, mapfile).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.map_url is None and r.map_timestamp is None and r.map_ct is None
+
+
+def test_mapfile_broadcast_fallback_matches_literal(spark, monkeypatch):
+    """Above MAPFILE_LITERAL_MAX_ROWS the broadcast theta-join fallback must
+    produce the identical first-match result set."""
+    from warcit_spark.operators import joins as joins_mod
+
+    files = spark.createDataFrame(
+        [("/data/a/page.html",), ("/data/b/other.html",), ("/q/none.bin",)],
+        ["filename"],
+    )
+    mapfile = spark.createDataFrame(
+        [
+            ("a/page.html", "http://x/a", "2017", "text/html"),
+            ("page.html", "http://x/generic", "2018", "text/plain"),
+            ("b/other.html", "http://x/b", None, None),
+        ],
+        ["file", "URL", "timestamp", "Content-Type"],
+    ).coalesce(1)
+
+    def snapshot(df):
+        return sorted(
+            (r.filename, r.map_url, r.map_timestamp, r.map_ct)
+            for r in df.collect()
+        )
+
+    lit = snapshot(mapfile_suffix_join(files, mapfile))
+    monkeypatch.setattr(joins_mod, "MAPFILE_LITERAL_MAX_ROWS", 2)
+    fb = snapshot(joins_mod.mapfile_suffix_join(files, mapfile))
+    assert fb == lit
+    assert lit[0] == ("/data/a/page.html", "http://x/a", "2017", "text/html")
+
+    # strict uniqueness still enforced on the fallback path
+    dup_files = spark.createDataFrame(
+        [("/d/1/page.html",), ("/d/2/page.html",)], ["filename"]
+    )
+    one_row = spark.createDataFrame(
+        [("page.html", "http://x", "2017", "text/html"),
+         ("zz1.html", None, None, None),
+         ("zz2.html", None, None, None)],
+        ["file", "URL", "timestamp", "Content-Type"],
+    ).coalesce(1)
+    with pytest.raises(MapfileUniquenessError):
+        joins_mod.mapfile_suffix_join(dup_files, one_row)
+
+
 # ------------------------------------------------------------------ J2 + anti
 def test_conversions_join_skips_unsuccessful(spark):
     doc = {
@@ -294,6 +351,11 @@ def test_conversion_records_refer_back(spark):
     assert r.refers_to_target_date == "2017-03-04T12:34:56Z"
     assert '"mime":"video/mp4"' in r.json_metadata.replace(" ", "")
     assert r.source_path == "/o/v.mp4"
+    # byte fidelity vs the reference's json.dumps(metadata)
+    # (warcit.py:576): ': ' separator, None keys omitted
+    assert r.json_metadata == json.dumps(
+        {"name": "mp4", "ext": "mp4", "mime": "video/mp4"}
+    )
 
 
 def test_transclusion_formats_order_deterministic(spark):

@@ -201,6 +201,29 @@ def test_mime_method_magic_sniffs_content(spark, tmp_path):
     assert recs["http://m.test/page.bin"] == "text/html"
 
 
+def test_mime_method_magic_invalid_utf8_is_octet_stream(spark, tmp_path):
+    """Content matching no magic prefix AND not valid UTF-8 must land on
+    application/octet-stream — not crash the job with Spark 4's ANSI
+    MALFORMED_CHARACTER_CODING on the text-sniff decode."""
+    site = tmp_path / "bsite"
+    site.mkdir()
+    # ICO-like header: no registered magic prefix, invalid UTF-8 bytes
+    (site / "favicon.blob").write_bytes(b"\x00\x00\x01\x00\xff\xfe\xfd" * 40)
+    # valid UTF-8 but with control bytes -> also octet-stream
+    (site / "ctrl.blob").write_bytes(b"ok\x01\x02\x03 text" * 10)
+
+    recs = {
+        r.url: r.content_type
+        for r in files_to_warc_records(
+            spark, str(site), "http://b.test/", mime_method="magic",
+            charset=None,
+        ).collect()
+        if r.record_type == "resource"
+    }
+    assert recs["http://b.test/favicon.blob"] == "application/octet-stream"
+    assert recs["http://b.test/ctrl.blob"] == "application/octet-stream"
+
+
 def test_multipart_default_is_globally_ordered(spark, site, tmp_path):
     """Default multi-part output: part N holds a contiguous slice of the
     total order (range partitioning), so concatenating parts in filename

@@ -72,7 +72,12 @@ def sniff_mime_expr(content: Column, buff_size: int = 2048) -> Column:
     """
     head = F.substring(content, 1, buff_size)
     head8 = F.substring(content, 1, 8)
-    text_head = F.lower(F.decode(F.substring(content, 1, 256), "UTF-8"))
+    # binary->string cast wraps bytes without validating; try_validate_utf8
+    # then yields NULL for non-UTF-8 heads instead of the ANSI
+    # MALFORMED_CHARACTER_CODING error F.decode raises (Spark 4).  A NULL
+    # text_head falls through every rlike() branch to octet-stream.
+    text_head = F.lower(F.try_validate_utf8(F.substring(content, 1, 256).cast("string")))
+    head_text = F.try_validate_utf8(head.cast("string"))
     return (
         F.when(F.startswith(head8, F.lit(b"\x89PNG\r\n\x1a\n")), "image/png")
         .when(F.startswith(head8, F.lit(b"\xff\xd8\xff")), "image/jpeg")
@@ -90,11 +95,13 @@ def sniff_mime_expr(content: Column, buff_size: int = 2048) -> Column:
             "text/html",
         )
         .when(text_head.rlike(r"^\s*<\?xml"), "text/xml")
-        # printable-ASCII head -> plain text (libmagic's coarse fallback)
+        # printable-ASCII head -> plain text (libmagic's coarse fallback);
+        # invalid-UTF-8 heads (head_text NULL) land on octet-stream.
         .when(
             F.length(head) > 0,
             F.when(
-                ~F.decode(head, "UTF-8").rlike(r"[\x00-\x08\x0e-\x1f]"),
+                head_text.isNotNull()
+                & ~head_text.rlike(r"[\x00-\x08\x0e-\x1f]"),
                 F.lit("text/plain"),
             ).otherwise(F.lit("application/octet-stream")),
         )

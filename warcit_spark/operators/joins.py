@@ -26,6 +26,12 @@ class MapfileUniquenessError(RuntimeError):
     """A mapfile row matched more than one file (warcit/warcit.py:335-337)."""
 
 
+# Above this many mapfile rows the array-literal plan would bloat Catalyst /
+# codegen (tens of thousands of struct literals); fall back to a broadcast
+# theta join + first-match aggregation instead.
+MAPFILE_LITERAL_MAX_ROWS = 10_000
+
+
 def mapfile_suffix_join(
     files: DataFrame,
     mapfile: DataFrame,
@@ -45,38 +51,59 @@ def mapfile_suffix_join(
     in-row scan of an array literal — ``filter``/``element_at`` inside
     whole-stage codegen, ZERO shuffle of the files relation (the previous
     formulation's first-match window repartitioned every file by name).
-    The strict check is one map-side-combined count over the matched
-    indices, not a second join materialization.
+    Above ``MAPFILE_LITERAL_MAX_ROWS`` the literal plan would bloat
+    Catalyst/codegen, so a broadcast endswith-join + per-file ``min_by``
+    first-match aggregation takes over (one shuffle of the files side).
+    An empty mapfile short-circuits to NULL map_* columns (the literal
+    formulation would produce an ``array<void>`` whose field extraction
+    fails analysis).  The strict check is one map-side-combined count over
+    the matched indices, not a second join materialization.
     """
     cols = mapfile.columns
     rows = mapfile.withColumn("_i", F.monotonically_increasing_id()).orderBy(
         "_i"
-    ).collect()
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("idx"),
-                F.lit(r["file"]).alias("file"),
-                F.lit(r["URL"] if "URL" in cols else None).cast("string").alias("url"),
-                F.lit(r["timestamp"] if "timestamp" in cols else None).cast("string").alias("ts"),
-                F.lit(r["Content-Type"] if "Content-Type" in cols else None).cast("string").alias("ct"),
-            )
-            for i, r in enumerate(rows)
-        ]
-    )
-    fname = F.col(filename_col)
-    # try_element_at: NULL on no match (ANSI element_at throws on empty)
-    first = F.try_element_at(F.filter(entries, lambda e: fname.endswith(e["file"])), F.lit(1))
-    out = files.select(
-        "*",
-        first["url"].alias("map_url"),
-        first["ts"].alias("map_timestamp"),
-        first["ct"].alias("map_ct"),
-        first["idx"].alias("_mf_idx"),
-        first["file"].alias("_mf_file"),
-    )
+    ).limit(MAPFILE_LITERAL_MAX_ROWS + 1).collect()
 
-    if strict and rows:
+    if not rows:
+        null_s = F.lit(None).cast("string")
+        return files.select(
+            "*",
+            null_s.alias("map_url"),
+            null_s.alias("map_timestamp"),
+            null_s.alias("map_ct"),
+        )
+
+    fname = F.col(filename_col)
+
+    if len(rows) > MAPFILE_LITERAL_MAX_ROWS:
+        out = _mapfile_broadcast_join(files, mapfile, cols, fname)
+    else:
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("idx"),
+                    F.lit(r["file"]).alias("file"),
+                    F.lit(r["URL"] if "URL" in cols else None).cast("string").alias("url"),
+                    F.lit(r["timestamp"] if "timestamp" in cols else None).cast("string").alias("ts"),
+                    F.lit(r["Content-Type"] if "Content-Type" in cols else None).cast("string").alias("ct"),
+                )
+                for i, r in enumerate(rows)
+            ]
+        )
+        # try_element_at: NULL on no match (ANSI element_at throws on empty)
+        first = F.try_element_at(
+            F.filter(entries, lambda e: fname.endswith(e["file"])), F.lit(1)
+        )
+        out = files.select(
+            "*",
+            first["url"].alias("map_url"),
+            first["ts"].alias("map_timestamp"),
+            first["ct"].alias("map_ct"),
+            first["idx"].alias("_mf_idx"),
+            first["file"].alias("_mf_file"),
+        )
+
+    if strict:
         dupes = (
             out.where(F.col("_mf_idx").isNotNull())
             .groupBy("_mf_idx", "_mf_file")
@@ -91,6 +118,43 @@ def mapfile_suffix_join(
             )
 
     return out.drop("_mf_idx", "_mf_file")
+
+
+def _mapfile_broadcast_join(
+    files: DataFrame, mapfile: DataFrame, cols: list, fname
+) -> DataFrame:
+    """Large-mapfile fallback: broadcast endswith theta join, first match
+    (lowest mapfile row index) selected with ``min_by`` per file row."""
+    null_s = F.lit(None).cast("string")
+    mf = mapfile.withColumn("_i", F.monotonically_increasing_id()).select(
+        F.col("_i"),
+        F.col("file").alias("_mf_pat"),
+        (F.col("URL") if "URL" in cols else null_s).cast("string").alias("_mf_url"),
+        (F.col("timestamp") if "timestamp" in cols else null_s).cast("string").alias("_mf_ts"),
+        (F.col("Content-Type") if "Content-Type" in cols else null_s).cast("string").alias("_mf_ct"),
+    )
+    file_cols = files.columns
+    with_id = files.withColumn("_fid", F.monotonically_increasing_id())
+    joined = with_id.join(F.broadcast(mf), fname.endswith(F.col("_mf_pat")), "left")
+    first = F.min_by(
+        F.struct(
+            F.col("_mf_url").alias("url"),
+            F.col("_mf_ts").alias("ts"),
+            F.col("_mf_ct").alias("ct"),
+            F.col("_i").alias("idx"),
+            F.col("_mf_pat").alias("file"),
+        ),
+        F.col("_i"),
+    ).alias("_first")
+    agg = joined.groupBy("_fid", *file_cols).agg(first)
+    return agg.select(
+        *file_cols,
+        F.col("_first.url").alias("map_url"),
+        F.col("_first.ts").alias("map_timestamp"),
+        F.col("_first.ct").alias("map_ct"),
+        F.col("_first.idx").alias("_mf_idx"),
+        F.col("_first.file").alias("_mf_file"),
+    )
 
 
 def conversions_join(records: DataFrame, conversions: DataFrame) -> DataFrame:

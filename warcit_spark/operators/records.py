@@ -33,6 +33,27 @@ from warcit_spark.functions.timestamps import normalize_ts14_expr
 TRANSCLUSION_CONTENT_TYPE = "application/vnd.youtube-dl_formats+json"
 
 
+def json_metadata_batch(md):
+    """Serialize the conversion-metadata struct exactly like the reference's
+    ``json.dumps(metadata)`` (warcit/warcit.py:576): default ``': '``
+    separator, keys in dict order, absent (None) keys omitted — byte
+    fidelity ``F.to_json`` cannot give (no space after ':', fixed struct
+    field order, different null handling)."""
+    # a struct column reaches a pandas UDF as a pd.DataFrame (one column per
+    # field, field order preserved); a NULL struct row is a row of nulls —
+    # indistinguishable from an all-null struct, and both map to "no header"
+    # exactly like the reference's `if metadata:` guard on an empty dict.
+    out = []
+    for row in md.itertuples(index=False):
+        clean = {}
+        for k, v in zip(md.columns, row):
+            if v is None or v != v:  # None / NaN
+                continue
+            clean[k] = v.item() if hasattr(v, "item") else v
+        out.append(json.dumps(clean) if clean else None)
+    return pd.Series(out, dtype="object")
+
+
 def conversion_records(resources: DataFrame, conversions: DataFrame) -> DataFrame:
     """D2: one derived record per successful conversion of a resource.
 
@@ -58,7 +79,7 @@ def conversion_records(resources: DataFrame, conversions: DataFrame) -> DataFram
         F.col("record_id").alias("refers_to"),
         F.col("url").alias("refers_to_target_uri"),
         F.col("warc_date").alias("refers_to_target_date"),
-        F.to_json(F.col("conv_metadata")).alias("json_metadata"),
+        pandas_udf(json_metadata_batch, "string")(F.col("conv_metadata")).alias("json_metadata"),
         F.col("conv_output").alias("source_path"),
         F.col("seq"),
     )

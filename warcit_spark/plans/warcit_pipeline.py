@@ -38,7 +38,10 @@ from warcit_spark.operators.charset import detect_charsets_batch
 from warcit_spark.functions.mime import charset_suffix_expr
 from warcit_spark.operators.filters import apply_include_exclude
 from warcit_spark.operators.joins import mapfile_suffix_join
-from warcit_spark.operators.records import transclusion_metadata_records
+from warcit_spark.operators.records import (
+    json_metadata_batch,
+    transclusion_metadata_records,
+)
 from warcit_spark.sinks.warc import write_warc_files
 from warcit_spark.sources.binary_files import scan_files
 
@@ -296,7 +299,7 @@ def files_to_warc_records(
             F.col("_src_date").alias("refers_to_target_date"),
             null_s.alias("record_id"),
             F.col("_src_rid").alias("refers_to"),
-            F.when(F.col("_md").isNotNull(), F.to_json(F.col("_md"))).alias("json_metadata"),
+            F.pandas_udf(json_metadata_batch, "string")(F.col("_md")).alias("json_metadata"),
             F.col("_src_sort").alias("_sort_uri"),
             F.lit(2).alias("_class"),
             F.col("_cseq").alias("_seq"),
@@ -363,6 +366,7 @@ def warcit_run(
     gzip_records: bool = True,
     one_file: bool = False,
     num_parts: int | None = None,
+    warcinfo: bool = True,
     **kwargs,
 ) -> DataFrame:
     """The full CLI-equivalent run: records -> ordered .warc.gz part files.
@@ -393,5 +397,6 @@ def warcit_run(
     # warcinfo cmdline: the CLI-equivalent invocation (warcit.py:454)
     cmdline = f"warcit-spark {url_prefix} {input_dir}"
     return write_warc_files(
-        ordered, out_dir, gzip_records=gzip_records, mode=mode, cmdline=cmdline
+        ordered, out_dir, gzip_records=gzip_records, mode=mode, cmdline=cmdline,
+        warcinfo=warcinfo,
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 import base64
 import gzip
 import os
+import re
 import uuid
 from collections.abc import Iterator
 
@@ -99,6 +100,7 @@ def write_warc_files(
     gzip_records: bool = True,
     mode: str = "xb",
     cmdline: str | None = None,
+    warcinfo: bool = True,
 ) -> DataFrame:
     """Write records to ``out_dir/part-<pid>.warc[.gz]``.
 
@@ -129,9 +131,20 @@ def write_warc_files(
     has_json_meta = "json_metadata" in records.columns
     suffix = ".warc.gz" if gzip_records else ".warc"
     # append runs get a deterministic generation tag derived from the
-    # directory state (not a random uuid — reproducible re-runs)
+    # directory state (not a random uuid — reproducible re-runs).  The tag
+    # is max(existing generation)+1 parsed from filenames, so a re-run after
+    # a partially-failed append never reuses (and silently overwrites) a
+    # prior generation the way a plain part-count would.  Concurrent appends
+    # to one out_dir are unsupported (both writers would compute the same
+    # generation).
     if mode == "ab":
-        gen = sum(1 for n in os.listdir(out_dir) if n.startswith("part-"))
+        gens = []
+        for n in os.listdir(out_dir):
+            if not n.startswith("part-"):
+                continue
+            m = re.match(r"part-g(\d+)-", n)
+            gens.append(int(m.group(1)) if m else 0)
+        gen = (max(gens) + 1) if gens else 0
         run_tag = f"g{gen:04d}-"
     else:
         run_tag = ""
@@ -153,7 +166,10 @@ def write_warc_files(
                 for r in pdf.itertuples(index=False):
                     if fh is None:
                         fh = open(path, "wb")
-                        emit(_warcinfo_bytes(name, pid, cmdline))
+                        # --no-warcinfo (warcit/warcit.py:93-96): suppress
+                        # the per-file warcinfo preamble entirely
+                        if warcinfo:
+                            emit(_warcinfo_bytes(name, pid, cmdline))
                     payload = bytes(r.payload) if r.payload is not None else b""
                     if has_record_id and getattr(r, "record_id", None):
                         rid_header = r.record_id
