@@ -746,6 +746,63 @@ _WORDS09_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> 
 _PUNCT_SQL = r"""[.,!?;:''"()\[\]{}<>-]"""
 
 
+# The fixture documents' token vocabulary (TESTDATA.md corpus generator) —
+# fixed across scale factors, verified at sf0.001/0.01/0.1.  The x2 oracle
+# embeds xxhash64(word) literals for exactly these; an out-of-vocabulary
+# token would LEFT-JOIN to a NULL hash and surface as a value mismatch
+# (loud), never a silent pass.
+_FIXTURE_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def _x2_oracle_sql() -> str:
+    """DuckDB twin of x2 (simhash): per-token xxhash64 values are computed
+    driver-side (functions/text.py xxhash64_py reimplements Spark's
+    F.xxhash64 bit-for-bit, pinned by test) and embedded as literals for
+    the fixture vocabulary; tokenization, bit-voting, and the signed-64
+    reinterpretation are then pure SQL."""
+    from warcit_spark.functions.text import xxhash64_py
+
+    vals = ",\n        ".join(
+        f"('{w}', {xxhash64_py(w.encode()) & ((1 << 64) - 1)}::UBIGINT)"
+        for w in _FIXTURE_VOCAB
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents WHERE doc_id < 200
+        ),
+        wh(w, h) AS (VALUES {vals}),
+        th AS (
+          SELECT t.doc_id, wh.h
+          FROM toks t LEFT JOIN wh ON t.w = wh.w
+          WHERE t.w <> ''
+        ),
+        bits AS (
+          SELECT doc_id, b AS bit,
+                 SUM(CAST((h >> CAST(b AS UBIGINT)) & 1::UBIGINT AS INT)) AS ones,
+                 COUNT(*) AS n
+          FROM th, (SELECT unnest(range(64)) AS b)
+          GROUP BY doc_id, b
+        ),
+        sh AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN ones * 2 > n
+                          THEN CAST(1::HUGEINT << CAST(bit AS INT) AS HUGEINT)
+                          ELSE 0 END) AS u
+          FROM bits GROUP BY doc_id
+        )
+        SELECT doc_id AS id,
+               CAST(u - CASE WHEN u >= 9223372036854775808
+                             THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS simhash
+        FROM sh ORDER BY id
+    """
+
+
 def _x3_oracle_sql() -> str:
     """DuckDB twin of x3: reproduces the SRP buckets exactly.
 
@@ -782,9 +839,11 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     # x1's LSH output on the fixtures has total recall vs exact n-gram
     # Jaccard at the same threshold (verified in tests), so t5's SQL is a
-    # valid value oracle for it; x3's buckets are reproduced in SQL above.
-    # x2 (simhash) stays rows-only: Spark xxhash64 has no DuckDB twin.
+    # valid value oracle for it; x2's xxhash64 signatures and x3's SRP
+    # buckets are reproduced exactly in SQL above (driver-side pure-Python
+    # hash twins embedded as literals).
     d["x1_minhash_lsh"] = d["t5_ngram_jaccard"]
+    d["x2_simhash"] = _x2_oracle_sql()
     d["x3_lsh_ann"] = _x3_oracle_sql()
     return d
 
@@ -1145,6 +1204,7 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag
         """,
-        # x1_minhash_lsh, x2_simhash, x3_lsh_ann: murmur3/xxhash64-seeded
-        # signatures are not expressible in DuckDB SQL -> rows-only check.
+        # x1_minhash_lsh, x2_simhash, x3_lsh_ann get their oracles in
+        # oracle_sql(): murmur3/xxhash64-seeded signatures are reproduced
+        # via driver-side pure-Python hash twins embedded as SQL literals.
     }

@@ -92,6 +92,44 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert not any(3 in p for p in got)
 
 
+def test_ngram_jaccard_df_cap_stop_phrase_heavy(spark):
+    """df_max excludes stop-phrase shingles from CANDIDATE GENERATION while
+    values stay exact: a corpus where one phrase appears in every document
+    must not quadratically pair everything, yet a genuine near-dup pair
+    (which also shares rarer shingles) is still found with its exact
+    Jaccard."""
+    stop = "click here to accept cookies on this site"
+    rows = [(i, f"{stop} unique page number {i} body content item {i}")
+            for i in range(20)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, df_max=None).collect()
+    }
+    capped = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, df_max=3).collect()
+    }
+    # the near-dup pair shares df=1 shingles -> survives the cap, value exact
+    assert (100, 101) in capped
+    assert capped[(100, 101)] == exact[(100, 101)]
+    # capped results are a subset of exact, with identical values
+    for pair, j in capped.items():
+        assert exact[pair] == j
+    # the stop-phrase docs share ONLY df=20 shingles (> cap) and differ in
+    # all their unique shingles -> none of them can pair under the cap
+    assert not any(a < 100 and b < 100 for (a, b) in capped)
+    # default cap (1000) drops nothing here: identical to exact
+    default = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert default == exact
+
+
 # ----------------------------------------------------------------- similarity
 def test_cosine_topk_matches_numpy(spark, sf_dir):
     import numpy as np
@@ -137,6 +175,27 @@ def test_srp_plane_signs_match_spark_hash(spark):
     for p in range(n_planes):
         for d in range(dim):
             assert py[p][d] == spark_signs[p * 1_000_003 + d]
+
+
+def test_xxhash64_py_matches_spark(spark):
+    """xxhash64_py's pure-Python XXH64 must agree bit-for-bit with
+    F.xxhash64 on UTF-8 strings (this equivalence is what lets the DuckDB
+    oracle reproduce simhash signatures as literals).  Covers every
+    tail-length branch (<4, <8, 8..31) and the >=32-byte stripe loop."""
+    from warcit_spark.functions.text import xxhash64_py
+
+    words = [
+        "a", "ab", "abc", "abcd", "abcde", "customer", "windowful",
+        "0123456789abcdef", "0123456789abcdefg", "x" * 31, "y" * 32,
+        "z" * 33, "the quick brown fox jumps over the lazy dog", "",
+        "héllo wörld",  # multi-byte UTF-8
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", F.xxhash64("w").alias("h")
+    )
+    spark_hashes = {r.w: r.h for r in df.collect()}
+    for w in words:
+        assert xxhash64_py(w.encode("utf-8")) == spark_hashes[w], w
 
 
 def test_lsh_ann_multiprobe_recall_monotone(spark, sf_dir):

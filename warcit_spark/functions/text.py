@@ -79,3 +79,68 @@ def fingerprint_expr(text: Column, nchars: int = 16) -> Column:
     exact-dedup key across engines (md5 exists in both Spark and DuckDB)."""
     normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
     return F.substring(F.md5(F.encode(normalized, "UTF-8")), 1, nchars)
+
+
+def xxhash64_py(data: bytes, seed: int = 42) -> int:
+    """Pure-Python XXH64, bit-for-bit equal to Spark's ``F.xxhash64`` on a
+    string column (Spark hashes the UTF-8 bytes with seed 42 —
+    catalyst XxHash64 / XXH64.hashUnsafeBytes).  Exists so external oracles
+    (DuckDB SQL) can reproduce xxhash64-seeded signatures as literals,
+    exactly like ``srp_plane_signs`` does for murmur3
+    (operators/similarity.py).  Returns the SIGNED 64-bit value Spark
+    returns.  Pinned against ``F.xxhash64`` in tests.
+    """
+    P1 = 0x9E3779B185EBCA87
+    P2 = 0xC2B2AE3D27D4EB4F
+    P3 = 0x165667B19E3779F9
+    P4 = 0x85EBCA77C2B2AE63
+    P5 = 0x27D4EB2F165667C5
+    M = (1 << 64) - 1
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & M
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        while i + 32 <= n:
+            k1 = int.from_bytes(data[i : i + 8], "little")
+            k2 = int.from_bytes(data[i + 8 : i + 16], "little")
+            k3 = int.from_bytes(data[i + 16 : i + 24], "little")
+            k4 = int.from_bytes(data[i + 24 : i + 32], "little")
+            v1 = (rotl((v1 + k1 * P2) & M, 31) * P1) & M
+            v2 = (rotl((v2 + k2 * P2) & M, 31) * P1) & M
+            v3 = (rotl((v3 + k3 * P2) & M, 31) * P1) & M
+            v4 = (rotl((v4 + k4 * P2) & M, 31) * P1) & M
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            h ^= (rotl((v * P2) & M, 31) * P1) & M
+            h = (h * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (rotl((k * P2) & M, 31) * P1) & M
+        h = (rotl(h, 27) * P1 + P4) & M
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i : i + 4], "little")
+        h ^= (k * P1) & M
+        h = (rotl(h, 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h

@@ -106,9 +106,13 @@ def minhash_lsh_dedup(
     ).where(F.size("shingles") > 0)
     sigs = docs.withColumn("sig", minhash_signature_expr(F.col("shingles"), n_hashes))
 
+    # Band entries carry ONLY (id, band_idx, band_hash): the candidate
+    # shuffle moves 3 fixed-width columns, never the shingle arrays (which
+    # at web scale are KBs/doc duplicated x bands).  Shingles re-enter via
+    # two id-equi-joins just before the Jaccard verify, after the candidate
+    # pair set has been deduplicated.
     band_entries = sigs.select(
         "id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -125,7 +129,7 @@ def minhash_lsh_dedup(
                 ]
             )
         ).alias("band"),
-    ).select("id", "shingles", "band.band_idx", "band.band_hash")
+    ).select("id", "band.band_idx", "band.band_hash")
 
     left = band_entries.alias("l")
     right = band_entries.alias("r")
@@ -139,15 +143,22 @@ def minhash_lsh_dedup(
         .select(
             F.col("l.id").alias("doc_id_a"),
             F.col("r.id").alias("doc_id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
 
-    verified = candidates.withColumn(
-        "jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b"))
-    ).where(F.col("jaccard") >= jaccard_threshold)
+    sh_a = docs.select(
+        F.col("id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = docs.select(
+        F.col("id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        candidates.join(sh_a, on="doc_id_a")
+        .join(sh_b, on="doc_id_b")
+        .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
     return verified.select("doc_id_a", "doc_id_b", "jaccard")
 
 
@@ -252,12 +263,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    df_max: int | None = 1000,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold via inverted-index join.
 
     Pairs are generated from shared shingles (an inverted index), so only
     documents sharing at least one shingle are compared — the standard
     sparse all-pairs similarity shape, not a cross join.
+
+    ``df_max`` caps the document frequency of index shingles: the self-join
+    is quadratic *per shingle group*, so one stop-phrase shingle appearing
+    in 10^6 docs would alone yield 10^12 candidate pairs.  Shingles with
+    df > df_max are excluded from CANDIDATE GENERATION only; surviving
+    candidates are verified with exact Jaccard over the full shingle
+    arrays, so reported values are always exact.  The recall contract: a
+    qualifying pair is missed only if EVERY shingle it shares is more
+    common than df_max — at threshold >= 0.5 that requires over half of
+    each document's shingles to be such stop-phrases.  Mass-duplicated
+    documents (where even discriminative shingles exceed any df cap) must
+    be collapsed by :func:`exact_dedup` first — the standard near-dedup
+    pipeline order.  ``df_max=None`` disables the cap and computes Jaccard
+    directly from shared-shingle counts (no array re-join).
     """
     docs = df.select(
         F.col(id_col).alias("id"),
@@ -265,6 +291,43 @@ def ngram_jaccard_pairs(
     ).where(F.size("shingles") > 0)
 
     inv = docs.select("id", F.explode("shingles").alias("sh"))
+
+    if df_max is not None:
+        # semi-join on sh is co-partitioned with the self-join that follows
+        # (both shuffle on sh), so the cap costs one extra aggregation, not
+        # an extra repartition of the index.
+        keep = (
+            inv.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= df_max)
+            .select("sh")
+        )
+        capped = inv.join(keep, on="sh", how="left_semi")
+        candidates = (
+            capped.alias("a")
+            .join(
+                capped.alias("b"),
+                (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("doc_id_a"), F.col("b.id").alias("doc_id_b")
+            )
+            .dropDuplicates(["doc_id_a", "doc_id_b"])
+        )
+        sh_a = docs.select(
+            F.col("id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
+        )
+        sh_b = docs.select(
+            F.col("id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
+        )
+        out = (
+            candidates.join(sh_a, on="doc_id_a")
+            .join(sh_b, on="doc_id_b")
+            .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+            .where(F.col("jaccard") >= threshold)
+        )
+        return out.select("doc_id_a", "doc_id_b", "jaccard")
+
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
