@@ -163,6 +163,45 @@ def test_warc_deterministic_record_ids(spark, tmp_path):
 
 
 # -------------------------------------------------------------------- charset
+def test_charset_detector_import_gate(monkeypatch):
+    """When a cchardet/chardet module is importable, detect_charsets_batch
+    must use it (reference-grade detection, warcit.py:670-684) — falsy
+    results and missing encodings map to None; without one, the heuristic
+    runs.  Driver-side unit test: the gate resolves at batch time."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from warcit_spark.operators import charset as mod
+
+    calls = []
+
+    def fake_detect(b):
+        calls.append(bytes(b))
+        if b == b"empty":
+            return None
+        if b == b"noenc":
+            return {"encoding": None, "confidence": 0.0}
+        return {"encoding": "KOI8-R", "confidence": 0.9}
+
+    fake = types.ModuleType("cchardet")
+    fake.detect = fake_detect
+    monkeypatch.setitem(sys.modules, "cchardet", fake)
+    out = mod.detect_charsets_batch(
+        pd.Series([b"hello", b"empty", b"noenc", None, b""])
+    ).tolist()
+    assert out == ["KOI8-R", None, None, None, None]
+    assert calls == [b"hello", b"empty", b"noenc"]
+
+    # gate closed -> heuristic vocabulary
+    monkeypatch.delitem(sys.modules, "cchardet")
+    out = mod.detect_charsets_batch(
+        pd.Series([b"hello", "héllo".encode("utf-8"), b"\xff\xfe"])
+    ).tolist()
+    assert out == ["ascii", "UTF-8", "WINDOWS-1252"]
+
+
 def test_charset_detection_pipeline(spark):
     rows = [
         ("text/html", "ascii only".encode()),

@@ -224,6 +224,55 @@ def test_mime_method_magic_invalid_utf8_is_octet_stream(spark, tmp_path):
     assert recs["http://b.test/ctrl.blob"] == "application/octet-stream"
 
 
+def test_mime_and_charset_method_tika(spark, tmp_path):
+    """--use-magic tika / --charset tika slot (warcit/warcit.py:642-652,
+    686-703) over a caller-supplied tika_results column: first-of-list
+    Content-Type, default-8-bit charset suppression unless a
+    Content-Type-Hint exists, literal 'ascii' kept (no cchardet ascii
+    rule), and any missing piece falling through to the F3/F5 defaults."""
+    from warcit_spark.functions.mime import TIKA_RESULTS_SCHEMA
+
+    site = tmp_path / "tsite"
+    site.mkdir()
+    for name in ("a.css", "b.txt", "c.txt", "d.txt", "e.txt", "noinfo.bin"):
+        (site / name).write_bytes(b"content of " + name.encode())
+
+    u = "http://t.test/"
+    tika = spark.createDataFrame(
+        [
+            # list-first + ';' split: css extension is OVERRIDDEN by tika
+            (u + "a.css", (["text/html; charset=utf-8", "application/xml"], None, None)),
+            # windows-1252 without hint -> suppressed
+            (u + "b.txt", (["text/plain"], ["windows-1252"], False)),
+            # ISO-8859-1 WITH hint -> kept
+            (u + "c.txt", (["text/plain"], ["ISO-8859-1"], True)),
+            # plain utf-8 -> kept; ascii -> kept too (tika has no ascii rule)
+            (u + "d.txt", (["text/plain"], ["ascii"], None)),
+            (u + "e.txt", (["text/plain"], ["utf-8"], None)),
+            # noinfo.bin has NO tika row at all -> default text/html
+        ],
+        f"url string, tika_results {TIKA_RESULTS_SCHEMA}",
+    )
+    recs = {
+        r.url: r.content_type
+        for r in files_to_warc_records(
+            spark, str(site), u, mime_method="tika", charset="tika",
+            tika_results=tika,
+        ).collect()
+        if r.record_type == "resource"
+    }
+    assert recs[u + "a.css"] == "text/html"
+    assert recs[u + "b.txt"] == "text/plain"
+    assert recs[u + "c.txt"] == "text/plain; charset=ISO-8859-1"
+    assert recs[u + "d.txt"] == "text/plain; charset=ascii"
+    assert recs[u + "e.txt"] == "text/plain; charset=utf-8"
+    assert recs[u + "noinfo.bin"] == "text/html"
+
+    # tika_results is mandatory when either method is 'tika'
+    with pytest.raises(ValueError):
+        files_to_warc_records(spark, str(site), u, mime_method="tika")
+
+
 def test_multipart_default_is_globally_ordered(spark, site, tmp_path):
     """Default multi-part output: part N holds a contiguous slice of the
     total order (range partitioning), so concatenating parts in filename

@@ -108,6 +108,40 @@ def sniff_mime_expr(content: Column, buff_size: int = 2048) -> Column:
     )
 
 
+# Canonical engine schema for caller-supplied tika output (the sandbox has
+# no tika JVM; a deployment runs tika-server and lands its metadata as this
+# struct).  Arrays capture tika's "string or list" quirk — single values are
+# wrapped as 1-element arrays by the loader.
+TIKA_RESULTS_SCHEMA = (
+    "struct<content_type: array<string>, content_encoding: array<string>, "
+    "content_type_hint: boolean>"
+)
+
+
+def tika_mime_expr(tika_results: Column) -> Column:
+    """The ``--use-magic tika`` method slot (warcit/warcit.py:642-652):
+    first (most-likely) Content-Type value, split before ';'.  Any missing
+    piece (NULL struct, empty list) yields NULL — the reference's bare
+    ``except: mime = None`` — so the F3 chain falls through to the default.
+    """
+    ct = F.try_element_at(tika_results["content_type"], F.lit(1))
+    return F.when(ct.isNotNull(), F.substring_index(ct, ";", 1))
+
+
+def tika_charset_detect_expr(tika_results: Column) -> Column:
+    """The ``--charset tika`` detector value (warcit/warcit.py:686-703):
+    first Content-Encoding entry; missing -> NULL (reference: '').  The
+    windows-1252/ISO-8859-1 default-assignment suppression is applied by
+    :func:`charset_suffix_expr` via ``suppress_default_8bit`` +
+    ``has_hint`` so all suppression rules live in one place."""
+    return F.try_element_at(tika_results["content_encoding"], F.lit(1))
+
+
+def tika_has_hint_expr(tika_results: Column) -> Column:
+    """Whether tika found a Content-Type-Hint (warcit/warcit.py:699-700)."""
+    return F.coalesce(tika_results["content_type_hint"], F.lit(False))
+
+
 def guess_mime_expr(
     mapfile_ct: Column,
     override_mime: Column,
@@ -132,6 +166,7 @@ def charset_suffix_expr(
     *,
     enabled: bool = True,
     fixed_charset: str | None = None,
+    suppress_ascii: bool = True,
     suppress_default_8bit: bool = False,
     has_hint: Column | None = None,
 ) -> Column:
@@ -153,8 +188,10 @@ def charset_suffix_expr(
         body = F.lit(fixed_charset)
     else:
         cs = F.coalesce(detected_charset, F.lit(""))
-        # ascii suppression (warcit.py:683-684)
-        cs = F.when(F.lower(cs) == "ascii", F.lit("")).otherwise(cs)
+        if suppress_ascii:
+            # ascii suppression — cchardet path only (warcit.py:683-684);
+            # the tika path keeps a literal 'ascii'
+            cs = F.when(F.lower(cs) == "ascii", F.lit("")).otherwise(cs)
         if suppress_default_8bit:
             # tika's default 8-bit assignment suppression (warcit.py:697-703)
             hinted = has_hint if has_hint is not None else F.lit(False)

@@ -27,13 +27,41 @@ from pyspark.sql import functions as F
 from warcit_spark.functions.mime import charset_suffix_expr
 
 
+def _real_detector():
+    """Import-gated reference-grade detector (cchardet, else chardet —
+    both expose ``detect(bytes) -> {'encoding': ...}``).  Returns None in
+    environments without either, in which case the deterministic heuristic
+    below runs — same gate pattern as lxml in operators/links.py, so a
+    non-sandbox deployment gets warcit.py:670-684 detection without code
+    changes."""
+    try:
+        import cchardet  # noqa: import-gated; absent in sandbox
+
+        return cchardet.detect
+    except ImportError:
+        pass
+    try:
+        import chardet  # noqa: import-gated; absent in sandbox
+
+        return chardet.detect
+    except ImportError:
+        return None
+
+
 def detect_charsets_batch(payloads: pd.Series) -> pd.Series:
+    detect = _real_detector()
+
     def one(b) -> str | None:
         if b is None:
             return None
         b = bytes(b)
         if not b:
             return None
+        if detect is not None:
+            # reference semantics (warcit.py:672-678): falsy result or
+            # missing encoding -> no charset
+            result = detect(b)
+            return (result or {}).get("encoding") or None
         try:
             b.decode("ascii")
             return "ascii"

@@ -31,6 +31,9 @@ from warcit_spark.functions.mime import (
     mime_override_expr,
     mimetypes_table,
     sniff_mime_expr,
+    tika_charset_detect_expr,
+    tika_has_hint_expr,
+    tika_mime_expr,
     url_extension_expr,
 )
 from warcit_spark.functions.timestamps import iso8601z_expr, normalize_ts14_expr
@@ -112,6 +115,7 @@ def files_to_warc_records(
     conversions: DataFrame | None = None,
     transclusions: DataFrame | None = None,
     mime_method: str = "filename",
+    tika_results: DataFrame | None = None,
 ) -> DataFrame:
     """One DataFrame of WARC records: (url, record_type, warc_date,
     content_type, payload, payload_digest, source_uri, size, refer-back
@@ -123,9 +127,21 @@ def files_to_warc_records(
     order then its ``urn:embeds:`` resource record — the record sequence
     the reference's own test asserts (test/test_warcit.py:257-299).
 
-    ``mime_method``: 'filename' (extension table) or 'magic' (content
-    sniff of the first 2048 bytes, the --use-magic slot, warcit.py:638-640).
+    ``mime_method``: 'filename' (extension table), 'magic' (content sniff
+    of the first 2048 bytes, warcit.py:638-640), or 'tika' — the full
+    --use-magic slot set.  'tika' (warcit.py:642-652) consumes
+    ``tika_results``: a caller-supplied DataFrame (url, tika_results
+    TIKA_RESULTS_SCHEMA) produced by an external tika-server run (the
+    sandbox ships no tika JVM; the method plumbing and suppression rules
+    are the engine contract).  ``charset='tika'`` reads Content-Encoding
+    from the same column with the reference's default-8-bit suppression
+    (warcit.py:686-703).
     """
+    if (mime_method == "tika" or charset == "tika") and tika_results is None:
+        raise ValueError(
+            "mime_method='tika' / charset='tika' needs a tika_results "
+            "DataFrame (url, tika_results) — see TIKA_RESULTS_SCHEMA"
+        )
     files = scan_files(spark, input_dir, url_prefix)
 
     # F1 — before any mime/mapfile work (predicate pushdown, warcit.py:466-475)
@@ -155,8 +171,19 @@ def files_to_warc_records(
         if mime_overrides
         else F.lit(None).cast("string")
     )
+    if tika_results is not None:
+        # external tika metadata joins in by url (broadcast — tika output
+        # is a sidecar, small relative to the corpus); unmatched files keep
+        # a NULL struct, which every tika expr maps to "no answer"
+        files = files.join(
+            F.broadcast(tika_results.select("url", "tika_results")),
+            on="url",
+            how="left",
+        )
     if mime_method == "magic":
         guessed = sniff_mime_expr(F.col("content"))
+    elif mime_method == "tika":
+        guessed = tika_mime_expr(F.col("tika_results"))
     else:
         guessed = F.col("_mime")
     mime = guess_mime_expr(F.col("map_ct"), override, guessed, no_xhtml=no_xhtml)
@@ -166,6 +193,8 @@ def files_to_warc_records(
     if charset == "auto":
         udf = F.pandas_udf(detect_charsets_batch, "string")
         detected = F.when(F.col("mime").startswith("text/"), udf(F.col("content")))
+    elif charset == "tika":
+        detected = tika_charset_detect_expr(F.col("tika_results"))
     else:
         detected = F.lit(None).cast("string")
     suffix = charset_suffix_expr(
@@ -173,7 +202,17 @@ def files_to_warc_records(
         F.col("map_ct"),
         detected,
         enabled=charset is not None,
-        fixed_charset=charset if charset not in (None, "auto") else None,
+        fixed_charset=charset if charset not in (None, "auto", "tika") else None,
+        # tika keeps a literal 'ascii' (no cchardet ascii rule) but
+        # suppresses default-assigned 8-bit charsets unless hinted
+        # (warcit.py:683-684 vs :697-703)
+        suppress_ascii=(charset != "tika"),
+        suppress_default_8bit=(charset == "tika"),
+        has_hint=(
+            tika_has_hint_expr(F.col("tika_results"))
+            if charset == "tika"
+            else None
+        ),
     )
     files = files.withColumn("content_type", F.concat(F.col("mime"), suffix))
 
@@ -281,6 +320,21 @@ def files_to_warc_records(
         )
         if mime_method == "magic":
             conv_guessed = sniff_mime_expr(F.col("_fi.content"))
+        elif mime_method == "tika":
+            # converted outputs get their own tika row, keyed by the
+            # conversion url (the reference runs _guess_type over the
+            # converted FileInfo, which carries its own tika_results)
+            cj = cj.join(
+                F.broadcast(
+                    tika_results.select(
+                        F.col("url").alias("_conv_url"),
+                        F.col("tika_results").alias("_conv_tika"),
+                    )
+                ),
+                on="_conv_url",
+                how="left",
+            )
+            conv_guessed = tika_mime_expr(F.col("_conv_tika"))
         else:
             conv_guessed = F.col("_mime")
         conv_mime = guess_mime_expr(null_s, conv_override, conv_guessed,
