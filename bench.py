@@ -74,7 +74,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_crawl(spark) -> dict:
+def bench_crawl(
+    spark,
+    n_pages: int = CRAWL_PAGES,
+    n_hosts: int = CRAWL_HOSTS,
+    n_seeds: int = CRAWL_SEEDS,
+    n_rounds: int = CRAWL_ROUNDS,
+    body_kb: int = 0,
+    extra_links: int = 0,
+    warmup_rounds: int = CRAWL_WARMUP,
+) -> dict:
     from warcit_spark.plans.crawl import (
         CrawlConfig,
         _mime_dim,
@@ -91,20 +100,24 @@ def bench_crawl(spark) -> dict:
     # pre-hash-partition + sort by url: the in-memory analog of a
     # url-bucketed Iceberg pages table — rounds shuffle only the selection
     pages = (
-        generate_pages(spark, CRAWL_PAGES, n_hosts=CRAWL_HOSTS)
+        generate_pages(
+            spark, n_pages, n_hosts=n_hosts,
+            body_kb=body_kb, extra_links=extra_links,
+        )
+        .select("url", "warc_ts", "html")
         .repartition(64, "url")
         .sortWithinPartitions("url")
         .persist()
     )
     pages.count()  # materialize outside the timed section
-    seeds = generate_seed_sample(spark, CRAWL_PAGES, CRAWL_SEEDS, CRAWL_HOSTS)
+    seeds = generate_seed_sample(spark, n_pages, n_seeds, n_hosts)
     robots = generate_robots(spark)
     state_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="bench_crawl_", dir=state_dir)
     try:
         cfg = CrawlConfig(
             host_budget=CRAWL_BUDGET,
-            max_rounds=CRAWL_ROUNDS,
+            max_rounds=n_rounds,
             n_salt=16,
             broadcast_fetch=False,  # pages are pre-bucketed above
         )
@@ -114,7 +127,7 @@ def bench_crawl(spark) -> dict:
         md.count()
         walls, emitted, links = [], [], []
         t0 = time.perf_counter()
-        for r in range(CRAWL_ROUNDS):
+        for r in range(n_rounds):
             r0 = time.perf_counter()
             s = crawl_round(spark, state, pages, robots, r, cfg, md)
             walls.append(time.perf_counter() - r0)
@@ -125,7 +138,7 @@ def bench_crawl(spark) -> dict:
         wall = time.perf_counter() - t0
         md.unpersist()
         # throughput over steady rounds only (JVM/codegen warmup excluded)
-        w = min(CRAWL_WARMUP, max(len(walls) - 1, 0))
+        w = min(warmup_rounds, max(len(walls) - 1, 0))
         steady_urls = sum(emitted[w:])
         steady_sec = sum(walls[w:])
         return {
@@ -147,6 +160,10 @@ def bench_crawl(spark) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # NB: keep the default 8g heap — measured 12-24g heaps inflate the
+    # first two light-crawl rounds 2-4x (G1 behavior at large heap, not
+    # page faults: -XX:+AlwaysPreTouch does not help); the CC-weight
+    # corpus (~3.5 GiB cached html) fits in 8g with MEMORY_AND_DISK.
 
     from warcit_spark import get_spark
 
@@ -155,6 +172,13 @@ def main() -> None:
 
     queries = bench_queries(spark, sf_dir)
     crawl = bench_crawl(spark)
+    # CC-weight corpus (~8 KiB html, ~25 links/page — the design-point
+    # per-URL work; the light corpus above is kept for round-over-round
+    # continuity).  Matches tools/bench_scaling.py pair "1to4_ccweight".
+    crawl_cc = bench_crawl(
+        spark, n_pages=400_000, n_hosts=256, n_seeds=200_000, n_rounds=3,
+        body_kb=8, extra_links=20, warmup_rounds=1,
+    )
 
     # value = query suite seconds (comparable round-over-round); the crawl
     # is reported as THROUGHPUT (urls/sec, the BASELINE.json metric) over a
@@ -170,6 +194,8 @@ def main() -> None:
         "cpus": cpus,
         "crawl_urls_per_sec": crawl["crawl_urls_per_sec"],
         "crawl": crawl,
+        "crawl_ccweight_urls_per_sec": crawl_cc["crawl_urls_per_sec"],
+        "crawl_ccweight": crawl_cc,
     }
     print(json.dumps(result))
     spark.stop()

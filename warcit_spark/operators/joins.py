@@ -134,20 +134,30 @@ def _mapfile_broadcast_join(
         (F.col("Content-Type") if "Content-Type" in cols else null_s).cast("string").alias("_mf_ct"),
     )
     file_cols = files.columns
+    # row ids are stable across the two plan branches below because the
+    # files source is a deterministic scan (binaryFile / parquet order)
     with_id = files.withColumn("_fid", F.monotonically_increasing_id())
-    joined = with_id.join(F.broadcast(mf), fname.endswith(F.col("_mf_pat")), "left")
-    first = F.min_by(
-        F.struct(
-            F.col("_mf_url").alias("url"),
-            F.col("_mf_ts").alias("ts"),
-            F.col("_mf_ct").alias("ct"),
-            F.col("_i").alias("idx"),
-            F.col("_mf_pat").alias("file"),
-        ),
-        F.col("_i"),
-    ).alias("_first")
-    agg = joined.groupBy("_fid", *file_cols).agg(first)
-    return agg.select(
+    # aggregate matches by row id only (file columns — e.g. binary content —
+    # never enter a grouping key or the match shuffle), then join back
+    matches = (
+        with_id.select("_fid", fname.alias("_fname"))
+        .join(F.broadcast(mf), F.col("_fname").endswith(F.col("_mf_pat")), "inner")
+        .groupBy("_fid")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("_mf_url").alias("url"),
+                    F.col("_mf_ts").alias("ts"),
+                    F.col("_mf_ct").alias("ct"),
+                    F.col("_i").alias("idx"),
+                    F.col("_mf_pat").alias("file"),
+                ),
+                F.col("_i"),
+            ).alias("_first")
+        )
+    )
+    out = with_id.join(matches, on="_fid", how="left")
+    return out.select(
         *file_cols,
         F.col("_first.url").alias("map_url"),
         F.col("_first.ts").alias("map_timestamp"),

@@ -153,9 +153,66 @@ def derive_fetch_records(
     return resources.unionByName(revisits)
 
 
-def _lineage_counts(df: DataFrame, name: str, n_parts: int) -> DataFrame:
+_LINEAGE_COUNTERS = (
+    "urls_in",
+    "robots_denied",
+    "urls_emitted",
+    "deferred",
+    "links_found",
+    "new_urls",
+)
+
+
+def _lineage_single_pass(
+    pre: DataFrame,
+    ranked: DataFrame,
+    candidates: DataFrame,
+    new_urls: DataFrame,
+    round_id: int,
+    n_parts: int,
+) -> DataFrame:
+    """All six lineage counters in ONE aggregation: tag minimal (host,
+    counter-increment) projections of the four round frames, union them,
+    and groupBy the content-defined partition id.
+
+    This replaces four separate groupBys + three full-outer joins (seven
+    shuffle/join stages of driver scheduling per round) with a single
+    exchange whose map-side partial aggregation reduces every input task
+    to <= n_parts rows — the per-round serial stage-barrier floor shrinks
+    while the shuffled volume stays O(n_parts), not O(rows).
+    """
+    z = F.lit(0)
+
+    def tagged(df: DataFrame, **counters: F.Column) -> DataFrame:
+        cols = [
+            counters.get(c, z).cast("long").alias(c) for c in _LINEAGE_COUNTERS
+        ]
+        return df.select(F.col("host"), *cols)
+
+    one = F.lit(1)
+    unioned = (
+        tagged(
+            pre,
+            urls_in=one,
+            robots_denied=(~F.col("allowed")).cast("int"),
+            deferred=(F.col("allowed") & ~F.col("_pre_ok")).cast("int"),
+        )
+        .unionByName(
+            tagged(
+                ranked,
+                urls_emitted=F.col("selected").cast("int"),
+                deferred=(~F.col("selected")).cast("int"),
+            )
+        )
+        .unionByName(tagged(candidates, links_found=one))
+        .unionByName(tagged(new_urls, new_urls=one))
+    )
     pid = F.pmod(F.xxhash64("host"), F.lit(n_parts)).cast("int")
-    return df.groupBy(pid.alias("partition_id")).agg(F.count("*").alias(name))
+    return unioned.groupBy(pid.alias("partition_id")).agg(
+        *[F.sum(c).alias(c) for c in _LINEAGE_COUNTERS]
+    ).select(
+        F.lit(round_id).alias("round"), "partition_id", *_LINEAGE_COUNTERS
+    )
 
 
 def crawl_round(
@@ -181,17 +238,9 @@ def crawl_round(
     if frontier is None:
         raise RuntimeError(f"no frontier delta for round {round_id}")
     frontier = frontier.select("url", "host", "priority", "round_added")
+    # no count() probe: emptiness falls out of the lineage action below
+    # (urls_in == 0) — one fewer driver action per round
     frontier = frontier.persist()
-    n_frontier = frontier.count()
-    if n_frontier == 0:
-        frontier.unpersist()
-        summary = {"urls_in": 0, "urls_emitted": 0, "frontier_next": 0}
-        state.write_delta(
-            spark.createDataFrame([], "round int, partition_id int, urls_in long, "
-            "robots_denied long, urls_emitted long, deferred long, links_found long, "
-            "dupes_dropped long, new_urls long"), "lineage", round_id)
-        state.commit_round(round_id, summary)
-        return summary
 
     # ---- robots + politeness: two flagged frames, no anti-join -------------
     # robots is a broadcast join with in-row rule resolution (no shuffle on
@@ -325,43 +374,10 @@ def crawl_round(
     ).unionByName(new_urls).withColumn("round", F.lit(round_id + 1))
 
     # ---- lineage (content-defined partitions, stable across cluster sizes) -
-    # the two scheduling frames yield five counters in two conditional
-    # aggregations; only candidates and new_urls need their own groupBy
-    P = cfg.n_lineage_partitions
-    pid = F.pmod(F.xxhash64("host"), F.lit(P)).cast("int")
-    pre_counts = pre.groupBy(pid.alias("partition_id")).agg(
-        F.count("*").alias("urls_in"),
-        F.count_if(~F.col("allowed")).alias("robots_denied"),
-        F.count_if(F.col("allowed") & ~F.col("_pre_ok")).alias("_pre_deferred"),
-    )
-    rk_counts = ranked.groupBy(pid.alias("partition_id")).agg(
-        F.count_if(F.col("selected")).alias("urls_emitted"),
-        F.count_if(~F.col("selected")).alias("_rk_deferred"),
-    )
-    parts = (
-        pre_counts.join(rk_counts, "partition_id", "full")
-        .withColumn(
-            "deferred",
-            F.coalesce(F.col("_pre_deferred"), F.lit(0))
-            + F.coalesce(F.col("_rk_deferred"), F.lit(0)),
-        )
-        .join(_lineage_counts(candidates, "links_found", P), "partition_id", "full")
-        .join(_lineage_counts(new_urls, "new_urls", P), "partition_id", "full")
-    )
-    lineage = parts.select(
-        F.lit(round_id).alias("round"),
-        "partition_id",
-        *[
-            F.coalesce(F.col(c), F.lit(0)).alias(c)
-            for c in (
-                "urls_in",
-                "robots_denied",
-                "urls_emitted",
-                "deferred",
-                "links_found",
-                "new_urls",
-            )
-        ],
+    # all six counters in one tagged-union aggregation: one exchange of
+    # <= n_parts rows per input task instead of four groupBys + three joins
+    lineage = _lineage_single_pass(
+        pre, ranked, candidates, new_urls, round_id, cfg.n_lineage_partitions
     )
 
     # ---- one action computes the whole round ------------------------------

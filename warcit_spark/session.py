@@ -48,6 +48,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce CACHED plans too: the crawl round persists its
+        # intermediate frames, and without this every cached frame keeps
+        # all shuffle partitions — at low data-per-core the round's serial
+        # floor is dominated by launching hundreds of near-empty cache-read
+        # tasks (union stages run |frames| x shuffle_partitions tasks).
+        # Verified: the pre-bucketed pages side of the fetch SMJ still
+        # scans in place with zero added Exchange (BENCH/PLANS.md).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -85,9 +85,23 @@ def _page_coords(n_pages: int, n_hosts: int):
 
 
 def generate_pages(
-    spark: SparkSession, n_pages: int, n_hosts: int = N_HOSTS
+    spark: SparkSession,
+    n_pages: int,
+    n_hosts: int = N_HOSTS,
+    body_kb: int = 0,
+    extra_links: int = 0,
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) — BASELINE.json input_hint shape."""
+    """pages(url, warc_ts, html, text, lang) — BASELINE.json input_hint shape.
+
+    ``body_kb``/``extra_links`` produce a Common-Crawl-WEIGHT variant
+    (real CC pages run tens of KB of html with dozens of links; the
+    default fixture page is ~300 B with 3-5): ``body_kb`` appends ~that
+    many KiB of deterministic filler paragraphs, ``extra_links`` adds that
+    many additional in-host anchors.  Defaults (0, 0) keep the corpus
+    byte-identical to the parity/oracle fixture — heavier weights are for
+    the throughput/scaling benchmarks where per-URL compute must resemble
+    the design-point workload.
+    """
     n_pages = max(40, (n_pages // N_HOST_SLOTS) * N_HOST_SLOTS)
     ids = spark.range(n_pages)
     h, j, n_safe = _page_coords(n_pages, n_hosts)
@@ -128,6 +142,31 @@ def generate_pages(
         F.when(j % 7 == 0, F.concat(F.lit(' <a href="'), cross, F.lit('">x</a>'))).otherwise(F.lit("")),
         F.when(j % 13 == 0, F.concat(F.lit(' <a href="'), dangling, F.lit('">gone</a>'))).otherwise(F.lit("")),
     )
+    if extra_links > 0:
+        # one transform over a sequence, not an N-fold concat chain (which
+        # blows the whole-stage-codegen method size at N~20)
+        ks = F.sequence(F.lit(0), F.lit(extra_links - 1))
+        more = F.array_join(
+            F.transform(
+                ks,
+                lambda k: F.concat(
+                    F.lit('<a href="http://'),
+                    host,
+                    _page_path_expr((j * 5 + k.cast("long") * 11 + 3) % n_safe),
+                    F.lit('">l</a>'),
+                ),
+            ),
+            " ",
+        )
+        links_html = F.concat(links_html, F.lit(" "), more)
+    if body_kb > 0:
+        # ~64-byte deterministic sentence repeated to ~body_kb KiB; varies
+        # per page (j) so columnar/dictionary compression cannot collapse it
+        filler_unit = F.concat(
+            F.lit(" Filler sentence "), j,
+            F.lit(" with assorted tokens for page weight realism and regex work."),
+        )
+        body_text = F.concat(body_text, F.repeat(filler_unit, body_kb * 16))
     html_page = F.concat(
         F.lit("<html><head><title>"), host, F.lit(" page "), j,
         F.lit("</title></head><body><h1>Article "), j, F.lit("</h1><p>"),
