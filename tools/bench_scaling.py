@@ -106,7 +106,10 @@ def run_level(cpus, n_pages, n_seeds, budget, n_hosts, rounds,
         body_kb=body_kb, extra_links=extra_links,
         state_dir=STATE_DIR or "/tmp",
     )
-    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g")
+    env = dict(os.environ)
+    # overridable: large heaps showed G1 pathologies inflating early
+    # rounds (BENCH/ANALYSIS.md round-3 addendum)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     if STATE_DIR:
         env["SPARK_LOCAL_DIRS"] = STATE_DIR
     proc = subprocess.run(
