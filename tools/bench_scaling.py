@@ -99,7 +99,7 @@ WARMUP_ROUNDS = 0
 
 
 def run_level(cpus, n_pages, n_seeds, budget, n_hosts, rounds,
-              body_kb=0, extra_links=0) -> dict:
+              body_kb=0, extra_links=0, heap=None) -> dict:
     code = CHILD.format(
         repo=REPO, cpus=cpus, n_pages=n_pages, n_seeds=n_seeds,
         budget=budget, n_hosts=n_hosts, rounds=rounds,
@@ -107,9 +107,12 @@ def run_level(cpus, n_pages, n_seeds, budget, n_hosts, rounds,
         state_dir=STATE_DIR or "/tmp",
     )
     env = dict(os.environ)
-    # overridable: large heaps showed G1 pathologies inflating early
-    # rounds (BENCH/ANALYSIS.md round-3 addendum)
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # heap is a PER-PAIR config (identical at both levels of a pair):
+    # measured-best is corpus-dependent — 12g for the 3.2-GiB CC-weight
+    # corpus (24g G1 pathology inflates early rounds), 24g for the
+    # 6.4-GiB one (12g thrashes at the high-parallelism level).  See
+    # BENCH/ANALYSIS.md round-3 addendum.  Env var overrides everything.
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", heap or "12g")
     if STATE_DIR:
         env["SPARK_LOCAL_DIRS"] = STATE_DIR
     proc = subprocess.run(
@@ -131,14 +134,15 @@ def _median(xs):
 
 
 def measure_pair(lo, hi, n_pages, n_seeds, budget, n_hosts, rounds, repeats,
-                 body_kb=0, extra_links=0):
+                 body_kb=0, extra_links=0, heap=None):
     runs = {lo: [], hi: []}
     for rep in range(repeats):
         # interleave lo/hi within each repeat so slow drift (thermal, page
         # cache) hits both levels equally
         for cpus in (lo, hi):
             res = run_level(cpus, n_pages, n_seeds, budget, n_hosts, rounds,
-                            body_kb=body_kb, extra_links=extra_links)
+                            body_kb=body_kb, extra_links=extra_links,
+                            heap=heap)
             runs[cpus].append(res)
             print(json.dumps({"rep": rep, **res}), flush=True)
 
@@ -157,7 +161,7 @@ def measure_pair(lo, hi, n_pages, n_seeds, budget, n_hosts, rounds, repeats,
     steady_urls = sum(urls[k] for k in steady)
     return {
         "n_pages": n_pages, "n_seeds": n_seeds, "host_budget": budget,
-        "body_kb": body_kb, "extra_links": extra_links,
+        "body_kb": body_kb, "extra_links": extra_links, "child_heap": heap or "12g",
         "n_hosts": n_hosts, "rounds": rounds, "repeats": repeats,
         "warmup_rounds_excluded": WARMUP_ROUNDS,
         f"local{lo}_round_sec_min": lo_min,
@@ -185,13 +189,14 @@ def main():
     # with rounds 1-2; their pages are ~300 B, which over-weights
     # coordination latency relative to any real crawl.
     if quick:
-        pairs = [("1to4_ccweight", 1, 4, 400_000, 200_000, 40_000, 256, 3, 3, 8, 20)]
+        pairs = [("1to4_ccweight", 1, 4, 400_000, 200_000, 40_000, 256, 3, 3, 8, 20, "12g")]
     else:
         pairs = [
-            ("1to4_ccweight", 1, 4, 400_000, 200_000, 40_000, 256, 3, 3, 8, 20),
-            ("1to4", 1, 4, 2_000_000, 1_000_000, 40_000, 512, 4, 2, 0, 0),
-            ("2to8", 2, 8, 4_000_000, 1_000_000, 40_000, 512, 5, 2, 0, 0),
-            ("8to32", 8, 32, 16_000_000, 4_000_000, 40_000, 512, 5, 2, 0, 0),
+            ("1to4_ccweight", 1, 4, 400_000, 200_000, 40_000, 256, 3, 3, 8, 20, "12g"),
+            ("2to8_ccweight", 2, 8, 800_000, 400_000, 40_000, 256, 3, 2, 8, 20, "24g"),
+            ("1to4", 1, 4, 2_000_000, 1_000_000, 40_000, 512, 4, 2, 0, 0, "24g"),
+            ("2to8", 2, 8, 4_000_000, 1_000_000, 40_000, 512, 5, 2, 0, 0, "24g"),
+            ("8to32", 8, 32, 16_000_000, 4_000_000, 40_000, 512, 5, 2, 0, 0, "24g"),
         ]
     out = {
         "protocol": "v3: CC-weight primary corpus (body_kb/extra_links); pairwise per-round ratios on identical inputs; "
@@ -201,10 +206,11 @@ def main():
                     "bucketed seen (seen_buckets=64)"
     }
     for (label, lo, hi, n_pages, n_seeds, budget, n_hosts, rounds, reps,
-         body_kb, extra_links) in pairs:
+         body_kb, extra_links, heap) in pairs:
         out[label] = measure_pair(lo, hi, n_pages, n_seeds, budget,
                                   n_hosts, rounds, reps,
-                                  body_kb=body_kb, extra_links=extra_links)
+                                  body_kb=body_kb, extra_links=extra_links,
+                                  heap=heap)
         print(json.dumps({label: out[label]}, indent=2), flush=True)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as fh:
