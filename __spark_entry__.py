@@ -570,6 +570,53 @@ def x3_lsh_ann(spark, sf_dir):
     return lsh_bucket_ann(emb, q, k=10, hamming_probe=1)
 
 
+def x6_ivf_ann(spark, sf_dir):
+    """IVF ANN with the deterministic random-Voronoi coarse quantizer
+    (data-independent, so the DuckDB oracle reproduces assignment from
+    centroid literals; a k-means quantizer drops in via
+    kmeans_centroids — exercised in tests)."""
+    from warcit_spark.operators.similarity import (
+        ivf_random_centroids,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = list(emb.where(F.col("vec_id") == 0).first().embedding)
+    cents = ivf_random_centroids(k=8, dim=len(q))
+    return ivf_topk(emb, q, cents, k=10, nprobe=2)
+
+
+def t7_pii_scrub(spark, sf_dir):
+    """PII scrub over a deterministic PII-bearing text derivation (the
+    fixture corpus has no natural PII, so each doc gets a synthetic
+    contact line — same derivation in the SQL oracle)."""
+    from warcit_spark.functions.text import pii_count_expr, pii_scrub_expr
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or 555-123-4567 from 192.168.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        pii_count_expr(synth).cast("bigint").alias("pii_spans"),
+        pii_scrub_expr(synth).alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+def t8_repetition(spark, sf_dir):
+    from warcit_spark.functions.text import repetition_ratio_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        repetition_ratio_expr(F.col("text")).alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
 def x4_asof_join(spark, sf_dir):
     from warcit_spark.operators.asof import asof_join
 
@@ -721,6 +768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann1_cosine_topk": ann1_cosine_topk,
         "ann2_embedding_neardup": ann2_embedding_neardup,
         "x3_lsh_ann": x3_lsh_ann,
+        "x6_ivf_ann": x6_ivf_ann,
+        "t7_pii_scrub": t7_pii_scrub,
+        "t8_repetition": t8_repetition,
         "x4_asof_join": x4_asof_join,
         "x5_range_join": x5_range_join,
         "q5_local_supplier": q5_local_supplier,
@@ -742,6 +792,14 @@ _EN_STOPWORDS_SQL = (
 
 _WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> '')"
 _WORDS09_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+
+# PII regexes shared verbatim with the engine (functions/text.py) — simple
+# character classes only, identical in Java regex and RE2
+from warcit_spark.functions.text import (  # noqa: E402
+    PII_EMAIL_RE as _PII_EMAIL_RE,
+    PII_IPV4_RE as _PII_IPV4_RE,
+    PII_PHONE_RE as _PII_PHONE_RE,
+)
 # NB: the single quote is doubled for embedding in a single-quoted SQL literal
 _PUNCT_SQL = r"""[.,!?;:''"()\[\]{}<>-]"""
 
@@ -803,6 +861,45 @@ def _x2_oracle_sql() -> str:
     """
 
 
+def _x6_oracle_sql() -> str:
+    """DuckDB twin of x6 (IVF ANN): the random-Voronoi centroids are
+    data-independent (murmur3-derived, ivf_random_centroids), so both the
+    per-row assignment argmin and the query's probe set are reproduced in
+    SQL from centroid literals.  The distance score is written as the
+    SAME left-associated chain Spark's fold evaluates
+    (``|c|^2 - 2.0*(0.0 + v[1]*c1 + ...)``) so IEEE arithmetic — and
+    therefore Voronoi boundaries and tie-breaks (lowest index) — match
+    bit-for-bit."""
+    from warcit_spark.operators.similarity import ivf_random_centroids
+
+    K, DIM, NPROBE = 8, 64, 2
+    cents = ivf_random_centroids(k=K, dim=DIM)
+    score_cols = []
+    for i, c in enumerate(cents):
+        c2 = sum(x * x for x in c)
+        terms = " + ".join(f"v[{d + 1}]*{c[d]!r}" for d in range(DIM))
+        score_cols.append(f"{c2!r} - 2.0 * (0.0 + {terms}) AS s{i}")
+    least = "least(" + ", ".join(f"s{i}" for i in range(K)) + ")"
+    first_match = " ".join(f"WHEN s{i} = m THEN {i}" for i in range(K))
+    qs_structs = ", ".join(
+        "{" + f"'s': s{i}, 'i': {i}" + "}" for i in range(K)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sc AS (SELECT vec_id, v, {', '.join(score_cols)} FROM b),
+        a AS (SELECT vec_id, v, CASE {first_match} END AS cid
+              FROM (SELECT *, {least} AS m FROM sc)),
+        qs AS (SELECT unnest([{qs_structs}]) AS u FROM sc WHERE vec_id = 0),
+        probe AS (SELECT u.i AS i FROM qs ORDER BY u.s ASC, u.i ASC LIMIT {NPROBE})
+        SELECT vec_id,
+               round(list_cosine_similarity(v, (SELECT v FROM b WHERE vec_id = 0)), 6) AS cosine
+        FROM a
+        WHERE cid IN (SELECT i FROM probe)
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
 def _x3_oracle_sql() -> str:
     """DuckDB twin of x3: reproduces the SRP buckets exactly.
 
@@ -845,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
     d["x1_minhash_lsh"] = d["t5_ngram_jaccard"]
     d["x2_simhash"] = _x2_oracle_sql()
     d["x3_lsh_ann"] = _x3_oracle_sql()
+    d["x6_ivf_ann"] = _x6_oracle_sql()
     return d
 
 
@@ -1190,6 +1288,35 @@ def _oracle_sql_base() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS DOUBLE), 2) AS running_total
             FROM orders
+        """,
+        "t7_pii_scrub": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 555-123-4567 from 192.168.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) AS synth
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(synth, '{_PII_EMAIL_RE}'))
+                      + len(regexp_extract_all(synth, '{_PII_PHONE_RE}'))
+                      + len(regexp_extract_all(synth, '{_PII_IPV4_RE}')) AS BIGINT) AS pii_spans,
+                   regexp_replace(regexp_replace(regexp_replace(synth,
+                       '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+                       '{_PII_IPV4_RE}', '<IP>', 'g') AS scrubbed
+            FROM s ORDER BY doc_id
+        """,
+        "t8_repetition": r"""
+            SELECT doc_id,
+                   CASE WHEN len(ws) > 0
+                        THEN round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+                        ELSE 0.0 END AS rep_ratio
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                     w -> w <> '') AS ws
+                  FROM documents)
+            ORDER BY doc_id
         """,
         "t6_levenshtein": """
             SELECT p_partkey, p_name,

@@ -198,6 +198,105 @@ def test_xxhash64_py_matches_spark(spark):
         assert xxhash64_py(w.encode("utf-8")) == spark_hashes[w], w
 
 
+def test_kmeans_centroids_matches_numpy_lloyds(spark):
+    """Distributed deterministic Lloyd's == a numpy reference on the same
+    init (k lowest-id vectors) for every iteration count."""
+    import numpy as np
+
+    from warcit_spark.operators.similarity import kmeans_centroids
+
+    rng = [[float(((i * 7 + d * 3) % 11) - 5) for d in range(4)] for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<double>"
+    )
+    k, iters = 3, 4
+    got = kmeans_centroids(df, k=k, iters=iters)
+
+    X = np.array(rng)
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            if (assign == c).any():
+                C[c] = X[assign == c].mean(axis=0)
+    assert np.allclose(np.array(got), C, atol=1e-9)
+
+
+def test_ivf_topk_exact_when_probing_all(spark, sf_dir):
+    """nprobe == n_centroids degrades to exact brute force: result set ==
+    cosine_topk; with nprobe=2 the result is a subset of the probed
+    buckets and recall@10 vs exact is positive."""
+    from warcit_spark.operators.similarity import (
+        cosine_topk,
+        ivf_random_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.where(F.col("vec_id") == 0).first().embedding)
+    cents = ivf_random_centroids(k=8, dim=len(q))
+    exact = [(r.vec_id, r.cosine) for r in cosine_topk(emb, q, k=10).collect()]
+    allprobe = [
+        (r.vec_id, r.cosine)
+        for r in ivf_topk(emb, q, cents, k=10, nprobe=8).collect()
+    ]
+    assert allprobe == exact
+    few = {r.vec_id for r in ivf_topk(emb, q, cents, k=10, nprobe=2).collect()}
+    assert len(few & {v for v, _ in exact}) > 0  # positive recall
+    assert 0 in few  # the query vector's own bucket is always probed
+
+
+def test_pii_scrub_and_count(spark):
+    from warcit_spark.functions.text import pii_count_expr, pii_scrub_expr
+
+    rows = [
+        (0, "mail bob.smith+x@corp.example.org now"),
+        (1, "call 555-123-4567 or 020 7946 0958"),
+        (2, "server at 10.0.0.1 port 80"),
+        (3, "clean text with no pii at all"),
+        (4, "a@b.io and 1.2.3.4 and 999-1234-5678"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r.id: (r.n, r.s)
+        for r in df.select(
+            "id",
+            pii_count_expr(F.col("t")).alias("n"),
+            pii_scrub_expr(F.col("t")).alias("s"),
+        ).collect()
+    }
+    assert out[0] == (1, "mail <EMAIL> now")
+    assert out[1][0] == 2  # both separator styles match
+    assert out[1][1] == "call <PHONE> or <PHONE>"
+    assert out[2] == (1, "server at <IP> port 80")
+    assert out[3] == (0, "clean text with no pii at all")
+    assert out[4][0] == 3
+    assert "<EMAIL>" in out[4][1] and "<IP>" in out[4][1] and "<PHONE>" in out[4][1]
+
+
+def test_repetition_ratio(spark):
+    from warcit_spark.functions.text import repetition_ratio_expr
+
+    rows = [
+        (0, "a b c d"),            # all unique -> 0
+        (1, "a a a a"),            # 1 distinct of 4 -> 0.75
+        (2, ""),                   # empty -> 0
+        (3, "x y x y x y"),        # 2 of 6 -> ~0.666667
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r.rr
+        for r in df.select(
+            "id", repetition_ratio_expr(F.col("t")).alias("rr")
+        ).collect()
+    }
+    assert got[0] == 0.0
+    assert got[1] == 0.75
+    assert got[2] == 0.0
+    assert abs(got[3] - 0.666667) < 1e-6
+
+
 def test_lsh_ann_multiprobe_recall_monotone(spark, sf_dir):
     """Multi-probe widens the candidate set: recall@k vs exact top-k is
     non-decreasing in hamming_probe, and probe=n_planes is exact."""

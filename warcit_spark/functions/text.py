@@ -144,3 +144,44 @@ def xxhash64_py(data: bytes, seed: int = 42) -> int:
     h = (h * P3) & M
     h ^= h >> 32
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# PII patterns shared verbatim with the SQL oracle: simple character-class
+# regexes only (no lookaround), identical semantics in Java regex (Spark)
+# and RE2 (DuckDB).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub_expr(text: Column) -> Column:
+    """Training-data PII scrub: emails -> <EMAIL>, phone-shaped numbers ->
+    <PHONE>, IPv4 literals -> <IP>.  Order matters (emails first, so
+    host-like tails are gone before the IP pass); all three are JVM
+    ``regexp_replace`` — codegen, no Python."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return out
+
+
+def pii_count_expr(text: Column) -> Column:
+    """How many PII spans the scrub would redact (for audit lineage)."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0))
+        + F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0))
+    )
+
+
+def repetition_ratio_expr(text: Column) -> Column:
+    """Gopher-style within-document repetition signal: fraction of word
+    occurrences that are repeats of an earlier word, i.e.
+    ``1 - distinct_words / words`` (0 for empty/all-unique docs).  Pure
+    array expressions — split, distinct, sizes."""
+    ws = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda w: w != F.lit(""))
+    n = F.size(ws)
+    d = F.size(F.array_distinct(ws))
+    return F.when(n > 0, F.round(1.0 - d.cast("double") / n, 6)).otherwise(
+        F.lit(0.0)
+    )

@@ -7,9 +7,12 @@
 - :func:`lsh_bucket_ann` — the scale path: sign-random-projection LSH;
   deterministic hyperplanes derived from murmur3 so buckets are
   reproducible; probes only its own bucket (+ optional multi-probe).
-- :func:`ivf_topk` — IVF-style: k-means-free variant that uses LSH bucket
-  centroids as the coarse quantizer at small scale; probes the ``nprobe``
-  nearest buckets.
+- :func:`ivf_topk` — IVF: assign every vector to its nearest coarse
+  centroid, probe only the ``nprobe`` centroids nearest the query.
+  Quantizer is pluggable: :func:`kmeans_centroids` (distributed
+  deterministic Lloyd's) or :func:`ivf_random_centroids` (murmur3-derived
+  random Voronoi — data-independent, so DuckDB oracles can reproduce the
+  buckets from literals).
 """
 
 from __future__ import annotations
@@ -159,6 +162,119 @@ def lsh_bucket_ann(
     sim = cosine_expr(vec, q)
     return (
         bucketed.where(probe)
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------------- IVF ANN
+def ivf_random_centroids(k: int, dim: int) -> list[list[float]]:
+    """Deterministic data-independent coarse-quantizer centroids (random
+    Voronoi): unit-ish vectors whose components are murmur3-derived signs
+    scaled by a murmur3-derived magnitude — reproducible driver-side with
+    no data pass, so external oracles (DuckDB SQL) can embed the identical
+    centroid table as literals (the same trick as :func:`srp_plane_signs`).
+    A data-dependent k-means quantizer (:func:`kmeans_centroids`) drops in
+    by replacing this table; the assignment/probe/score plan is unchanged.
+    """
+    signs = srp_plane_signs(k, dim)
+    # stagger magnitudes so centroids are not symmetric around the origin
+    return [
+        [s * (1.0 + 0.25 * ((c * 31 + d) % 7)) / dim for d, s in enumerate(plane)]
+        for c, plane in enumerate(signs)
+    ]
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed deterministic Lloyd's k-means for the IVF coarse
+    quantizer: init = the k lowest-id vectors (deterministic, no RNG);
+    each iteration is one broadcast-assignment pass + one groupBy-mean —
+    O(n·k·dim) compute, O(k·dim) shuffle (map-side partial means), zero
+    Python in the loop.  Returns driver-side centroids (k x dim floats —
+    tiny by construction), the shape ``ivf_topk`` consumes.
+    """
+    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("kmeans_centroids: empty embeddings input")
+    cents = [
+        [float(x) for x in r[0]]
+        for r in embeddings.orderBy(id_col).select(vec_col).limit(k).collect()
+    ]
+    vec = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        assign = _nearest_centroid_expr(vec, cents)
+        dim = len(cents[0])
+        sums = (
+            embeddings.select(assign.alias("_c"), vec.alias("_v"))
+            .groupBy("_c")
+            .agg(
+                F.count("*").alias("_n"),
+                *[F.sum(F.col("_v")[d]).alias(f"_s{d}") for d in range(dim)],
+            )
+            .collect()
+        )
+        new = list(cents)
+        for r in sums:
+            n = r["_n"] or 1
+            new[r["_c"]] = [r[f"_s{d}"] / n for d in range(dim)]
+        cents = new
+    return cents
+
+
+def _nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over centroids of squared L2 distance, as one expression:
+    dist²(v,c) = |v|² - 2·v·c + |c|²; |v|² is common to every centroid so
+    the argmin needs only (-2·v·c + |c|²) — one dot product per centroid,
+    folded left with a running (best_idx, best_score) struct."""
+    best = None
+    for i, c in enumerate(centroids):
+        c2 = sum(x * x for x in c)
+        score = F.lit(float(c2)) - 2.0 * dot_expr(vec, F.array(*[F.lit(float(x)) for x in c]))
+        cand = F.struct(F.lit(i).alias("idx"), score.alias("s"))
+        best = cand if best is None else F.when(cand["s"] < best["s"], cand).otherwise(best)
+    return best["idx"]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors assigned to the ``nprobe``
+    centroids nearest the query.
+
+    The inverted-file shape at 100 TB: the centroid id is the partition
+    key of the bucketed embeddings table, assignment happens once at
+    ingest, and a query scans ``nprobe`` partitions instead of the corpus
+    (``nprobe == len(centroids)`` degrades gracefully to exact brute
+    force).  Here assignment is an in-row argmin expression and the probe
+    filter is pushed onto the scan.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = embeddings.withColumn(
+        "_ivf", _nearest_centroid_expr(vec, centroids)
+    )
+    # query's probe list computed driver-side (k x dim floats, no job)
+    q2 = [
+        sum(x * x for x in c) - 2.0 * sum(v * x for v, x in zip(query_vec, c))
+        for c in centroids
+    ]
+    probe = sorted(range(len(centroids)), key=lambda i: (q2[i], i))[:nprobe]
+    q = _query_lit(query_vec)
+    sim = cosine_expr(vec, q)
+    return (
+        assigned.where(F.col("_ivf").isin(*probe))
         .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
