@@ -172,7 +172,10 @@ def _simhash_batch(hash_arrays: pd.Series, nbits: int = 64) -> pd.Series:
         if arr is None or len(arr) == 0:
             out.append(0)
             continue
-        h = np.asarray(arr, dtype=np.uint64)
+        # hashes arrive as SIGNED 64-bit (Spark xxhash64); int64->uint64 via
+        # view keeps the bit pattern (a direct uint64 cast of negatives is
+        # deprecated and will raise in future numpy)
+        h = np.asarray(arr, dtype=np.int64).view(np.uint64)
         bits = (h[:, None] >> np.arange(nbits, dtype=np.uint64)) & np.uint64(1)
         votes = bits.sum(axis=0) * 2 > len(h)
         val = 0
