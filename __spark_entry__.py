@@ -836,7 +836,13 @@ def _x2_oracle_sql() -> str:
         ),
         wh(w, h) AS (VALUES {vals}),
         th AS (
-          SELECT t.doc_id, wh.h
+          -- vocabulary-drift guard: an out-of-vocabulary token must fail
+          -- the oracle LOUDLY (error()), never silently skew the bit-vote
+          -- denominator with a NULL hash
+          SELECT t.doc_id,
+                 CASE WHEN wh.h IS NULL
+                      THEN CAST(error('x2 oracle: token outside fixture vocabulary: ' || t.w) AS UBIGINT)
+                      ELSE wh.h END AS h
           FROM toks t LEFT JOIN wh ON t.w = wh.w
           WHERE t.w <> ''
         ),

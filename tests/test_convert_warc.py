@@ -365,3 +365,25 @@ def test_run_conversions_capture_output(spark, media_files, tmp_path):
     # without capture the column is absent (schema unchanged for old callers)
     out2 = run_conversions(planned).collect()
     assert "convert_log" not in out2[0].__fields__
+
+
+def test_json_metadata_batch_array_and_nan_cells():
+    """Array/list-valued metadata cells serialize instead of crashing the
+    ambiguous-truth NaN probe; scalar NaN still means 'absent'."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from warcit_spark.operators.records import json_metadata_batch
+
+    md = pd.DataFrame(
+        {
+            "name": ["mp4", None],
+            "ratio": [float("nan"), 1.5],
+            "tags": [["a", "b"], np.array([1, 2])],
+        }
+    )
+    out = json_metadata_batch(md)
+    assert json.loads(out[0]) == {"name": "mp4", "tags": ["a", "b"]}
+    assert json.loads(out[1]) == {"ratio": 1.5, "tags": [1, 2]}

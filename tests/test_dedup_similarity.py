@@ -122,12 +122,35 @@ def test_ngram_jaccard_df_cap_stop_phrase_heavy(spark):
     # the stop-phrase docs share ONLY df=20 shingles (> cap) and differ in
     # all their unique shingles -> none of them can pair under the cap
     assert not any(a < 100 and b < 100 for (a, b) in capped)
-    # default cap (1000) drops nothing here: identical to exact
+    # default is now EXACT (df_max=None): no silent recall loss
     default = {
         (r.doc_id_a, r.doc_id_b): r.jaccard
         for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
     assert default == exact
+
+
+def test_ngram_jaccard_df_cap_exclusion_is_observable(spark):
+    """When df_max actually excludes shingles, the observation riding the
+    caller's action reports how many — recall loss is never silent."""
+    stop = "click here to accept cookies on this site"
+    rows = [(i, f"{stop} unique page number {i} body content item {i}")
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from warcit_spark.operators.dedup import ngram_dfcap_excluded
+
+    out = ngram_jaccard_pairs(docs, threshold=0.5, df_max=3)
+    out.collect()
+    assert ngram_dfcap_excluded(out) > 0  # df=20 stop-phrase shingles dropped
+
+    # a cap that excludes nothing reports zero
+    out2 = ngram_jaccard_pairs(docs, threshold=0.99, df_max=10_000)
+    out2.collect()
+    assert ngram_dfcap_excluded(out2) == 0
+    # no cap -> nothing to observe
+    out3 = ngram_jaccard_pairs(docs, threshold=0.5)
+    assert ngram_dfcap_excluded(out3) is None
 
 
 # ----------------------------------------------------------------- similarity

@@ -13,6 +13,8 @@ from warcit_spark.operators.joins import (
     conversions_join,
     mapfile_suffix_join,
     seen_anti_join,
+    strict_check_of,
+    verify_mapfile_uniqueness,
 )
 from warcit_spark.operators.records import transclusion_metadata_records
 from warcit_spark.functions.mime import (
@@ -85,7 +87,15 @@ def test_mapfile_suffix_join_first_match_wins(spark):
         ],
         ["file", "URL", "timestamp", "Content-Type"],
     ).coalesce(1)
-    out = {r.filename: r.map_url for r in mapfile_suffix_join(files, mapfile).collect()}
+    joined = mapfile_suffix_join(files, mapfile)
+    # happy path is a SINGLE job: the strict check rides the caller's
+    # action as observe() metrics — no job has run before this collect
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    out = {r.filename: r.map_url for r in joined.collect()}
+    jobs_after = len(tracker.getJobIdsForGroup() or [])
+    assert jobs_after - jobs_before <= 1
+    verify_mapfile_uniqueness(strict_check_of(joined))  # metrics ready, no job
     # '/data/a/page.html' matches both rows; the FIRST mapfile row wins
     assert out["/data/a/page.html"] == "http://x/a"
     assert out["/data/b/other.html"] is None
@@ -99,8 +109,25 @@ def test_mapfile_row_matching_twice_fails_job(spark):
         [("page.html", "http://x", "2017", "text/html")],
         ["file", "URL", "timestamp", "Content-Type"],
     )
+    joined = mapfile_suffix_join(files, mapfile)
+    joined.collect()
     with pytest.raises(MapfileUniquenessError):
-        mapfile_suffix_join(files, mapfile)
+        verify_mapfile_uniqueness(strict_check_of(joined))
+
+
+def test_mapfile_strict_verify_runs_own_action_if_needed(spark):
+    """verify without a prior caller action: the noop fallback scan still
+    detects the duplicate (and reads only the filename column)."""
+    files = spark.createDataFrame(
+        [("/d/1/page.html",), ("/d/2/page.html",)], ["filename"]
+    )
+    mapfile = spark.createDataFrame(
+        [("page.html", "http://x", "2017", "text/html")],
+        ["file", "URL", "timestamp", "Content-Type"],
+    )
+    joined = mapfile_suffix_join(files, mapfile)
+    with pytest.raises(MapfileUniquenessError):
+        verify_mapfile_uniqueness(strict_check_of(joined))
 
 
 def test_mapfile_empty_returns_null_columns(spark):

@@ -224,6 +224,33 @@ def test_mime_method_magic_invalid_utf8_is_octet_stream(spark, tmp_path):
     assert recs["http://b.test/ctrl.blob"] == "application/octet-stream"
 
 
+def test_mime_method_magic_utf8_char_split_at_buffer_cut(spark, tmp_path):
+    """A multi-byte UTF-8 char straddling the 256/2048-byte sniff cut must
+    not null the whole head: the boundary trim keeps the clean prefix, so
+    genuine text/html still classifies as text (libmagic fidelity)."""
+    site = tmp_path / "usite"
+    site.mkdir()
+    # 7 ASCII bytes + 2-byte chars: byte 256 falls mid-char (7+249 odd)
+    (site / "page.bin").write_bytes(b"<html> " + ("é" * 200).encode())
+    # same shape for the 2048-byte plain-text sniff path (no html marker)
+    (site / "plain.bin").write_bytes(b"hello " + ("ü" * 1500).encode())
+    # a COMPLETE final char at exactly the cut must also survive
+    (site / "exact.bin").write_bytes(b"<html>" + ("é" * 125).encode())
+    assert len((site / "exact.bin").read_bytes()) == 256
+
+    recs = {
+        r.url: r.content_type
+        for r in files_to_warc_records(
+            spark, str(site), "http://u.test/", mime_method="magic",
+            charset=None,
+        ).collect()
+        if r.record_type == "resource"
+    }
+    assert recs["http://u.test/page.bin"] == "text/html"
+    assert recs["http://u.test/plain.bin"] == "text/plain"
+    assert recs["http://u.test/exact.bin"] == "text/html"
+
+
 def test_mime_and_charset_method_tika(spark, tmp_path):
     """--use-magic tika / --charset tika slot (warcit/warcit.py:642-652,
     686-703) over a caller-supplied tika_results column: first-of-list

@@ -60,6 +60,46 @@ def mime_override_expr(url: Column, overrides: dict[str, str]) -> Column:
     return out
 
 
+def _utf8_boundary_trim(head: Column, full_len: int) -> Column:
+    """Drop a trailing INCOMPLETE UTF-8 sequence produced by cutting a
+    multi-byte character at the ``full_len`` truncation boundary, so
+    ``try_validate_utf8`` judges the clean prefix instead of nulling the
+    whole head (libmagic reads a byte window the same way and classifies
+    on it).  Only a genuinely split sequence is dropped — a complete final
+    character, plain ASCII, and malformed-anyway content are untouched.
+    Pure JVM expressions over at most the last 4 bytes.
+    """
+    ln = F.length(head)
+
+    def byte_at(i: int) -> Column:  # int value of i-th byte from the end
+        return F.conv(F.hex(F.substring(head, ln - F.lit(i - 1), F.lit(1))), 16, 10).cast("int")
+
+    def is_cont(x: Column) -> Column:  # 0x80-0xBF continuation byte
+        return (x >= 128) & (x < 192)
+
+    b1, b2, b3, b4 = byte_at(1), byte_at(2), byte_at(3), byte_at(4)
+    # trailing continuation-byte run length (0..3)
+    c = (
+        F.when(~is_cont(b1), F.lit(0))
+        .when(~is_cont(b2), F.lit(1))
+        .when(~is_cont(b3), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    lead = F.when(c == 0, b1).when(c == 1, b2).when(c == 2, b3).otherwise(b4)
+    # bytes the lead byte announces (ASCII/invalid -> 1, i.e. never "short")
+    need = (
+        F.when((lead >= 0xC0) & (lead < 0xE0), F.lit(2))
+        .when((lead >= 0xE0) & (lead < 0xF0), F.lit(3))
+        .when((lead >= 0xF0) & (lead < 0xF8), F.lit(4))
+        .otherwise(F.lit(1))
+    )
+    trim = F.when(need > c + 1, c + 1).otherwise(F.lit(0))
+    # only a head that actually hit the truncation boundary can be split
+    return F.when(
+        ln == full_len, F.substring(head, F.lit(1), ln - trim)
+    ).otherwise(head)
+
+
 def sniff_mime_expr(content: Column, buff_size: int = 2048) -> Column:
     """Content-sniff MIME guess over the first ``buff_size`` bytes — the
     ``--use-magic magic`` method slot (warcit/warcit.py:28, 638-640).
@@ -75,9 +115,17 @@ def sniff_mime_expr(content: Column, buff_size: int = 2048) -> Column:
     # binary->string cast wraps bytes without validating; try_validate_utf8
     # then yields NULL for non-UTF-8 heads instead of the ANSI
     # MALFORMED_CHARACTER_CODING error F.decode raises (Spark 4).  A NULL
-    # text_head falls through every rlike() branch to octet-stream.
-    text_head = F.lower(F.try_validate_utf8(F.substring(content, 1, 256).cast("string")))
-    head_text = F.try_validate_utf8(head.cast("string"))
+    # text_head falls through every rlike() branch to octet-stream.  The
+    # boundary trim keeps a multi-byte char split at the cut from nulling
+    # an otherwise-clean text head.
+    text_head = F.lower(
+        F.try_validate_utf8(
+            _utf8_boundary_trim(F.substring(content, 1, 256), 256).cast("string")
+        )
+    )
+    head_text = F.try_validate_utf8(
+        _utf8_boundary_trim(head, buff_size).cast("string")
+    )
     return (
         F.when(F.startswith(head8, F.lit(b"\x89PNG\r\n\x1a\n")), "image/png")
         .when(F.startswith(head8, F.lit(b"\xff\xd8\xff")), "image/jpeg")

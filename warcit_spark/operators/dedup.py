@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from warcit_spark.functions.text import fingerprint_expr
@@ -266,7 +266,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
-    df_max: int | None = 1000,
+    df_max: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold via inverted-index join.
 
@@ -276,17 +276,23 @@ def ngram_jaccard_pairs(
 
     ``df_max`` caps the document frequency of index shingles: the self-join
     is quadratic *per shingle group*, so one stop-phrase shingle appearing
-    in 10^6 docs would alone yield 10^12 candidate pairs.  Shingles with
-    df > df_max are excluded from CANDIDATE GENERATION only; surviving
-    candidates are verified with exact Jaccard over the full shingle
-    arrays, so reported values are always exact.  The recall contract: a
-    qualifying pair is missed only if EVERY shingle it shares is more
-    common than df_max — at threshold >= 0.5 that requires over half of
-    each document's shingles to be such stop-phrases.  Mass-duplicated
-    documents (where even discriminative shingles exceed any df cap) must
-    be collapsed by :func:`exact_dedup` first — the standard near-dedup
-    pipeline order.  ``df_max=None`` disables the cap and computes Jaccard
-    directly from shared-shingle counts (no array re-join).
+    in 10^6 docs would alone yield 10^12 candidate pairs.  The default is
+    ``None`` — EXACT recall, Jaccard computed directly from shared-shingle
+    counts (no array re-join; also the faster plan on small corpora) — so
+    no caller silently loses pairs; large-corpus callers opt in with e.g.
+    ``df_max=1000``.  With a cap set, shingles with df > df_max are
+    excluded from CANDIDATE GENERATION only; surviving candidates are
+    verified with exact Jaccard over the full shingle arrays, so reported
+    values are always exact.  The recall contract: a qualifying pair is
+    missed only if EVERY shingle it shares is more common than df_max — at
+    threshold >= 0.5 that requires over half of each document's shingles
+    to be such stop-phrases.  Mass-duplicated documents (where even
+    discriminative shingles exceed any df cap) must be collapsed by
+    :func:`exact_dedup` first — the standard near-dedup pipeline order.
+    When the cap actually excludes shingles, that is observable: the
+    returned DataFrame carries a ``_dfcap_observation``
+    (:class:`~pyspark.sql.Observation`) whose ``excluded_shingles`` metric
+    is computed during the caller's action — recall loss is never silent.
     """
     docs = df.select(
         F.col(id_col).alias("id"),
@@ -296,25 +302,45 @@ def ngram_jaccard_pairs(
     inv = docs.select("id", F.explode("shingles").alias("sh"))
 
     if df_max is not None:
-        # semi-join on sh is co-partitioned with the self-join that follows
-        # (both shuffle on sh), so the cap costs one extra aggregation, not
-        # an extra repartition of the index.
-        keep = (
-            inv.groupBy("sh")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= df_max)
-            .select("sh")
+        # the df prefilter runs BEFORE any per-shingle posting list is
+        # materialized, so a 10^6-df stop shingle never builds a 10^6
+        # array; the semi-join on sh is co-partitioned with the posting
+        # aggregation that follows (both shuffle on sh).
+        dfreq = inv.groupBy("sh").agg(F.count("*").alias("_df"))
+        excluded = dfreq.where(F.col("_df") > df_max)
+        cap_obs = Observation("ngram_df_cap")
+        observed = dfreq.observe(
+            cap_obs,
+            F.sum(F.when(F.col("_df") > df_max, 1).otherwise(0)).alias(
+                "excluded_shingles"
+            ),
         )
+        keep = observed.where(F.col("_df") <= df_max).select("sh")
         capped = inv.join(keep, on="sh", how="left_semi")
+        # per-shingle posting list (bounded by df_max) -> in-row (i < j)
+        # pair expansion.  Single-reference plan: the observed dfreq node
+        # is executed exactly once (a self-join over an observed subtree
+        # makes Spark drop the merged metrics row), and candidate
+        # generation costs one groupBy shuffle instead of a two-sided
+        # self-join shuffle.
+        ids = F.sort_array(F.collect_set("id"))
+        grouped = capped.groupBy("sh").agg(ids.alias("ids")).where(
+            F.size("ids") >= 2
+        )
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ids"),
+                # 2-arg HOF lambda is (element, index); slice is 1-based,
+                # so i+2 = "elements strictly after index i"
+                lambda a, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                    lambda b: F.struct(a.alias("doc_id_a"), b.alias("doc_id_b")),
+                ),
+            )
+        )
         candidates = (
-            capped.alias("a")
-            .join(
-                capped.alias("b"),
-                (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
-            )
-            .select(
-                F.col("a.id").alias("doc_id_a"), F.col("b.id").alias("doc_id_b")
-            )
+            grouped.select(F.explode(pair_structs).alias("p"))
+            .select("p.doc_id_a", "p.doc_id_b")
             .dropDuplicates(["doc_id_a", "doc_id_b"])
         )
         sh_a = docs.select(
@@ -329,7 +355,10 @@ def ngram_jaccard_pairs(
             .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
             .where(F.col("jaccard") >= threshold)
         )
-        return out.select("doc_id_a", "doc_id_b", "jaccard")
+        result = out.select("doc_id_a", "doc_id_b", "jaccard")
+        result._dfcap_observation = cap_obs
+        result._dfcap_excluded_frame = excluded
+        return result
 
     pairs = (
         inv.alias("a")
@@ -349,3 +378,29 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out.select("doc_id_a", "doc_id_b", "jaccard")
+
+
+def ngram_dfcap_excluded(pairs: DataFrame) -> int | None:
+    """Shingles the ``df_max`` cap excluded from candidate generation in a
+    :func:`ngram_jaccard_pairs` result (None when no cap was set) — the
+    cap's recall loss is never silent.
+
+    Fast path: the observation that rode the caller's action (zero extra
+    jobs).  Spark 4.1's AQE drops CollectMetrics rows under some re-planned
+    join shapes, so when the metrics row came back empty (or no action ran
+    yet) this falls back to a one-aggregation accounting job over the
+    shingle document frequencies.
+    """
+    obs = getattr(pairs, "_dfcap_observation", None)
+    if obs is None:
+        return None
+    from warcit_spark.observe import observation_metrics, observation_ready
+
+    if observation_ready(obs):
+        try:
+            return observation_metrics(obs, "excluded_shingles")[
+                "excluded_shingles"
+            ] or 0
+        except RuntimeError:
+            pass  # empty metrics row — AQE ate it; recompute below
+    return pairs._dfcap_excluded_frame.count()

@@ -18,12 +18,19 @@ are broadcast hash equi-joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+from warcit_spark.observe import observation_metrics, observation_ready
 
 
 class MapfileUniquenessError(RuntimeError):
     """A mapfile row matched more than one file (warcit/warcit.py:335-337)."""
+
+
+#: attribute set on the DataFrame returned by :func:`mapfile_suffix_join`
+#: when the strict check rides the caller's action (literal path).
+_STRICT_ATTR = "_mapfile_strict_check"
 
 
 # Above this many mapfile rows the array-literal plan would bloat Catalyst /
@@ -52,12 +59,22 @@ def mapfile_suffix_join(
     whole-stage codegen, ZERO shuffle of the files relation (the previous
     formulation's first-match window repartitioned every file by name).
     Above ``MAPFILE_LITERAL_MAX_ROWS`` the literal plan would bloat
-    Catalyst/codegen, so a broadcast endswith-join + per-file ``min_by``
-    first-match aggregation takes over (one shuffle of the files side).
-    An empty mapfile short-circuits to NULL map_* columns (the literal
-    formulation would produce an ``array<void>`` whose field extraction
-    fails analysis).  The strict check is one map-side-combined count over
-    the matched indices, not a second join materialization.
+    Catalyst/codegen, so a broadcast endswith-join + per-filename ``min_by``
+    first-match aggregation takes over (keyed on the filename itself, so it
+    is deterministic for ANY input lineage — no row ids).  An empty mapfile
+    short-circuits to NULL map_* columns (the literal formulation would
+    produce an ``array<void>`` whose field extraction fails analysis).
+
+    Strictness is ZERO extra jobs on the literal path: the returned frame
+    carries an ``observe()`` metric pair (matched-row count vs an exact
+    bitmap distinct count of matched mapfile indices — exact because the
+    literal path bounds idx <= MAPFILE_LITERAL_MAX_ROWS, one bitmap
+    bucket).  The check fires inside the caller's own action; call
+    :func:`verify_mapfile_uniqueness` on the result (or any descendant
+    action's source) afterwards to raise ``MapfileUniquenessError``.  The
+    broadcast fallback path keeps the eager one-extra-job check (mapfile
+    indices are unbounded there, so the single-bucket bitmap trick does
+    not apply).
     """
     cols = mapfile.columns
     rows = mapfile.withColumn("_i", F.monotonically_increasing_id()).orderBy(
@@ -76,7 +93,10 @@ def mapfile_suffix_join(
     fname = F.col(filename_col)
 
     if len(rows) > MAPFILE_LITERAL_MAX_ROWS:
-        out = _mapfile_broadcast_join(files, mapfile, cols, fname)
+        out = _mapfile_broadcast_join(files, mapfile, cols, fname, filename_col)
+        if strict:
+            _eager_uniqueness_check(out)
+        return out.drop("_mf_idx", "_mf_file")
     else:
         entries = F.array(
             *[
@@ -104,27 +124,103 @@ def mapfile_suffix_join(
         )
 
     if strict:
+        # zero-extra-job strict check: ride the caller's own action.
+        # count(_mf_idx) vs an EXACT bitmap distinct count — exact because
+        # the literal path guarantees idx+1 in [1, MAPFILE_LITERAL_MAX_ROWS+1],
+        # a single 32768-position bitmap bucket.  observe() is a pushdown
+        # barrier, so downstream filters/unions never skew the metrics.
+        obs = Observation("mapfile_strict")
+        observed = out.observe(
+            obs,
+            F.count("_mf_idx").alias("matches"),
+            F.bitmap_count(
+                F.bitmap_construct_agg(F.bitmap_bit_position(F.col("_mf_idx") + 1))
+            ).alias("distinct_rows"),
+        )
+        result = observed.drop("_mf_idx", "_mf_file")
+        setattr(result, _STRICT_ATTR, (obs, observed))
+        return result
+
+    return out.drop("_mf_idx", "_mf_file")
+
+
+def strict_check_of(df: DataFrame):
+    """The deferred strict-check payload riding ``df`` (or None).
+
+    The payload is a plain Python attribute on the returned DataFrame
+    object, so it does NOT survive further transformations — capture it
+    right after :func:`mapfile_suffix_join` when composing a pipeline.
+    """
+    return getattr(df, _STRICT_ATTR, None)
+
+
+def verify_mapfile_uniqueness(check, run_action_if_needed: bool = True) -> None:
+    """Raise :class:`MapfileUniquenessError` if the deferred strict check
+    recorded a mapfile row matched by more than one file.
+
+    ``check`` is the payload from :func:`strict_check_of` (None is a
+    no-op — unmapped pipeline, empty mapfile, or the broadcast fallback
+    path which checks eagerly).  Call AFTER the action that consumed the
+    joined frame; if no action ran yet and ``run_action_if_needed``, a
+    column-pruned noop scan computes the metrics (filename column only —
+    file content is never read).  The duplicate listing in the error
+    message comes from a diagnostic job that only runs on the failure path.
+    """
+    if check is None:
+        return
+    obs, observed = check
+    if not observation_ready(obs) and run_action_if_needed:
+        observed.select("_mf_idx").write.format("noop").mode("overwrite").save()
+    metrics = observation_metrics(obs, "matches", "distinct_rows")
+    if metrics["matches"] > (metrics["distinct_rows"] or 0):
         dupes = (
-            out.where(F.col("_mf_idx").isNotNull())
+            observed.where(F.col("_mf_idx").isNotNull())
             .groupBy("_mf_idx", "_mf_file")
             .count()
             .where(F.col("count") > 1)
             .collect()
         )
-        if dupes:
-            raise MapfileUniquenessError(
-                "mapfile rows matched multiple files: "
-                + ", ".join(f"{r['_mf_file']} (x{r['count']})" for r in dupes)
-            )
+        raise MapfileUniquenessError(
+            "mapfile rows matched multiple files: "
+            + ", ".join(f"{r['_mf_file']} (x{r['count']})" for r in dupes)
+        )
 
-    return out.drop("_mf_idx", "_mf_file")
+
+def _eager_uniqueness_check(out: DataFrame) -> None:
+    """Broadcast-fallback strict check (one extra job; >10k-row mapfiles
+    only — the bitmap observe trick needs the literal path's bounded idx)."""
+    dupes = (
+        out.where(F.col("_mf_idx").isNotNull())
+        .groupBy("_mf_idx", "_mf_file")
+        .count()
+        .where(F.col("count") > 1)
+        .collect()
+    )
+    if dupes:
+        raise MapfileUniquenessError(
+            "mapfile rows matched multiple files: "
+            + ", ".join(f"{r['_mf_file']} (x{r['count']})" for r in dupes)
+        )
 
 
 def _mapfile_broadcast_join(
-    files: DataFrame, mapfile: DataFrame, cols: list, fname
+    files: DataFrame, mapfile: DataFrame, cols: list, fname, filename_col: str
 ) -> DataFrame:
-    """Large-mapfile fallback: broadcast endswith theta join, first match
-    (lowest mapfile row index) selected with ``min_by`` per file row."""
+    """Large-mapfile fallback: broadcast endswith theta join keyed on the
+    DISTINCT FILENAMES, first match (lowest mapfile row index) per name via
+    ``min_by``, joined back to the files relation by filename.
+
+    Keying on filename (row content) instead of a generated row id makes
+    the two plan branches deterministic for ANY files lineage — a
+    post-shuffle/derived input can no longer mis-assign metadata the way a
+    twice-evaluated ``monotonically_increasing_id`` could.  The mapfile
+    side still derives its row index from scan order, which is the
+    definition of "mapfile order" (the reference reads the CSV top to
+    bottom, warcit/warcit.py:303-304) and is deterministic for a file
+    scan.  File columns (e.g. binary content) never enter the match
+    shuffle — only filenames travel; the join-back is a plain equi-join
+    Catalyst/AQE can broadcast when the matched-name set is small.
+    """
     null_s = F.lit(None).cast("string")
     mf = mapfile.withColumn("_i", F.monotonically_increasing_id()).select(
         F.col("_i"),
@@ -134,15 +230,11 @@ def _mapfile_broadcast_join(
         (F.col("Content-Type") if "Content-Type" in cols else null_s).cast("string").alias("_mf_ct"),
     )
     file_cols = files.columns
-    # row ids are stable across the two plan branches below because the
-    # files source is a deterministic scan (binaryFile / parquet order)
-    with_id = files.withColumn("_fid", F.monotonically_increasing_id())
-    # aggregate matches by row id only (file columns — e.g. binary content —
-    # never enter a grouping key or the match shuffle), then join back
     matches = (
-        with_id.select("_fid", fname.alias("_fname"))
+        files.select(fname.alias("_fname"))
+        .distinct()
         .join(F.broadcast(mf), F.col("_fname").endswith(F.col("_mf_pat")), "inner")
-        .groupBy("_fid")
+        .groupBy("_fname")
         .agg(
             F.min_by(
                 F.struct(
@@ -156,7 +248,7 @@ def _mapfile_broadcast_join(
             ).alias("_first")
         )
     )
-    out = with_id.join(matches, on="_fid", how="left")
+    out = files.join(matches, fname == F.col("_fname"), how="left")
     return out.select(
         *file_cols,
         F.col("_first.url").alias("map_url"),

@@ -47,9 +47,19 @@ def json_metadata_batch(md):
     for row in md.itertuples(index=False):
         clean = {}
         for k, v in zip(md.columns, row):
-            if v is None or v != v:  # None / NaN
+            # None / scalar NaN only — `v != v` on a list/ndarray-valued
+            # cell (array/map struct field) is ambiguous-truth, so the
+            # NaN probe is gated to float scalars
+            if v is None or (isinstance(v, float) and v != v):
                 continue
-            clean[k] = v.item() if hasattr(v, "item") else v
+            if isinstance(v, (list, tuple)):
+                clean[k] = [x.item() if hasattr(x, "item") else x for x in v]
+            elif hasattr(v, "tolist"):  # numpy array cell
+                clean[k] = v.tolist()
+            elif hasattr(v, "item"):
+                clean[k] = v.item()
+            else:
+                clean[k] = v
         out.append(json.dumps(clean) if clean else None)
     return pd.Series(out, dtype="object")
 

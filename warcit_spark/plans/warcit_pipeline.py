@@ -40,13 +40,17 @@ from warcit_spark.functions.timestamps import iso8601z_expr, normalize_ts14_expr
 from warcit_spark.operators.charset import detect_charsets_batch
 from warcit_spark.functions.mime import charset_suffix_expr
 from warcit_spark.operators.filters import apply_include_exclude
-from warcit_spark.operators.joins import mapfile_suffix_join
+from warcit_spark.operators.joins import (
+    mapfile_suffix_join,
+    strict_check_of,
+    verify_mapfile_uniqueness,
+)
 from warcit_spark.operators.records import (
     json_metadata_batch,
     transclusion_metadata_records,
 )
 from warcit_spark.sinks.warc import write_warc_files
-from warcit_spark.sources.binary_files import scan_files
+from warcit_spark.sources.binary_files import scan_input, union_scans
 
 DEFAULT_INDEX_FILES = ("index.html", "index.htm")
 
@@ -142,14 +146,24 @@ def files_to_warc_records(
             "mime_method='tika' / charset='tika' needs a tika_results "
             "DataFrame (url, tika_results) — see TIKA_RESULTS_SCHEMA"
         )
-    files = scan_files(spark, input_dir, url_prefix)
+    # single dir/file/zip-path or a list of them (S11 multi-input union,
+    # warcit/warcit.py:44-46); zip inner-prefix forms resolve per input
+    if isinstance(input_dir, (list, tuple)):
+        files = union_scans([scan_input(spark, i, url_prefix) for i in input_dir])
+    else:
+        files = scan_input(spark, input_dir, url_prefix)
 
     # F1 — before any mime/mapfile work (predicate pushdown, warcit.py:466-475)
     files = apply_include_exclude(files, "filename", include, exclude)
 
-    # J1 — mapfile lookup; unmatched rows keep NULLs
+    # J1 — mapfile lookup; unmatched rows keep NULLs.  The strict
+    # uniqueness check rides the sink's action (observe metrics) instead of
+    # costing its own job — capture it here and re-attach to the records
+    # frame so warcit_run can verify after its write.
+    strict_check = None
     if mapfile is not None:
         files = mapfile_suffix_join(files, mapfile)
+        strict_check = strict_check_of(files)
     else:
         files = (
             files.withColumn("map_url", F.lit(None).cast("string"))
@@ -402,13 +416,15 @@ def files_to_warc_records(
 
     # every record gets the sink's deterministic id plan-side, so derived
     # records' refer-back ids and written ids always agree
-    return out.withColumn(
+    out = out.withColumn(
         "record_id",
         F.coalesce(
             F.col("record_id"),
             rid_udf(F.col("record_type"), F.col("url"), F.col("warc_date")),
         ),
     )
+    out._mapfile_strict_check = strict_check
+    return out
 
 
 def warcit_run(
@@ -421,6 +437,7 @@ def warcit_run(
     one_file: bool = False,
     num_parts: int | None = None,
     warcinfo: bool = True,
+    cmdline: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """The full CLI-equivalent run: records -> ordered .warc.gz part files.
@@ -449,8 +466,16 @@ def warcit_run(
         )
     ordered = ordered.drop("_sort_uri", "_class", "_seq")
     # warcinfo cmdline: the CLI-equivalent invocation (warcit.py:454)
-    cmdline = f"warcit-spark {url_prefix} {input_dir}"
-    return write_warc_files(
+    if cmdline is None:
+        cmdline = f"warcit-spark {url_prefix} {input_dir}"
+    manifest = write_warc_files(
         ordered, out_dir, gzip_records=gzip_records, mode=mode, cmdline=cmdline,
         warcinfo=warcinfo,
     )
+    # run the write HERE so the mapfile strict check (observe metrics
+    # riding the write job — zero extra actions in the happy path) can
+    # raise before the manifest is handed back; the returned frame is a
+    # local relation, so callers' .collect() is free
+    rows = manifest.collect()
+    verify_mapfile_uniqueness(strict_check_of(records))
+    return spark.createDataFrame(rows, manifest.schema)

@@ -217,6 +217,19 @@ def write_warc_files(
     )
 
 
+def write_warcinfo_only(
+    path: str, warc_name: str, cmdline: str | None, gzip_records: bool = True
+) -> str:
+    """A file holding ONLY the warcinfo record — the zero-resource run's
+    output (the reference still writes 'Wrote 0 resources to <name>',
+    test/test_warcit.py:160-166).  Driver-side: there is nothing to
+    distribute."""
+    raw = _warcinfo_bytes(warc_name, 0, cmdline)
+    with open(path, "wb") as fh:
+        fh.write(gzip.compress(raw, 6) if gzip_records else raw)
+    return path
+
+
 def read_warc_records(path: str) -> list[dict]:
     """Minimal WARC reader for round-trip tests (gzip multi-member aware)."""
     with open(path, "rb") as fh:
