@@ -586,6 +586,24 @@ def x6_ivf_ann(spark, sf_dir):
     return ivf_topk(emb, q, cents, k=10, nprobe=2)
 
 
+def x7_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with the DISTRIBUTED K-MEANS coarse quantizer: Lloyd's runs
+    as Spark jobs (decimal-exact per-dimension sums -> bit-reproducible
+    centroids, similarity.py:kmeans_centroids), then the probe query runs
+    against the learned cells.  The DuckDB oracle replays the SAME two
+    Lloyd iterations in SQL (exact DECIMAL sums make the arithmetic
+    order-independent; dot products are spelled as Spark's left-assoc
+    fold), so assignment, probe set, and top-k all match bit-for-bit.
+    A 256-row cap keeps the unrolled-SQL oracle tractable; the Spark side
+    is the unbounded scale path."""
+    from warcit_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 256)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    cents = kmeans_centroids(emb, k=4, iters=2)
+    return ivf_topk(emb, q, cents, k=10, nprobe=2)
+
+
 def t7_pii_scrub(spark, sf_dir):
     """PII scrub over a deterministic PII-bearing text derivation (the
     fixture corpus has no natural PII, so each doc gets a synthetic
@@ -769,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann2_embedding_neardup": ann2_embedding_neardup,
         "x3_lsh_ann": x3_lsh_ann,
         "x6_ivf_ann": x6_ivf_ann,
+        "x7_ivf_kmeans": x7_ivf_kmeans,
         "t7_pii_scrub": t7_pii_scrub,
         "t8_repetition": t8_repetition,
         "x4_asof_join": x4_asof_join,
@@ -906,6 +925,76 @@ def _x6_oracle_sql() -> str:
     """
 
 
+def _x7_oracle_sql() -> str:
+    """DuckDB twin of x7 (IVF with the k-means quantizer): replays the two
+    Lloyd iterations IN SQL.
+
+    Why this is exact: kmeans_centroids sums each dimension as
+    DECIMAL(30,12) — element quantization at the cast, integer-exact
+    addition — so the per-cluster sums are order-independent and identical
+    in both engines; the mean is a single float division of the exact sum.
+    Assignment scores are spelled as the SAME left-assoc chain Spark's
+    fold evaluates (``(0.0 + c[1]*c[1] + ...) - 2.0*(0.0 + v[1]*c[1] +
+    ...)``), and the argmin tie-break (lowest centroid id) is a
+    lexicographic struct min.  Empty clusters keep their previous centroid
+    (LEFT JOIN + coalesce), mirroring the Spark driver loop.
+    """
+    K, ITERS, NPROBE = 4, 2, 2
+    DIM, CAP = 64, 256
+
+    def chain(terms):  # left-assoc: (0.0 + t1 + t2 + ...)
+        return "(0.0 + " + " + ".join(terms) + ")"
+
+    def score(c, v):  # c2(c) - 2.0 * dot(v, c), Spark's fold shape
+        c2 = chain([f"{c}[{d+1}]*{c}[{d+1}]" for d in range(DIM)])
+        dot = chain([f"{v}[{d+1}]*{c}[{d+1}]" for d in range(DIM)])
+        return f"({c2} - 2.0*{dot})"
+
+    mean_list = ", ".join(
+        f"CAST(sum(CAST(v[{d+1}] AS DECIMAL(30,12))) AS DOUBLE)/count(*)"
+        for d in range(DIM)
+    )
+    ctes = [
+        f"b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < {CAP})",
+        f"c0 AS (SELECT vec_id AS cid, v AS c FROM b WHERE vec_id < {K})",
+    ]
+    prev = "c0"
+    for it in range(1, ITERS + 1):
+        ctes.append(
+            f"a{it} AS (SELECT e.vec_id, e.v, "
+            f"min(struct_pack(s := {score('c.c', 'e.v')}, i := c.cid)) AS m "
+            f"FROM b e CROSS JOIN {prev} c GROUP BY e.vec_id, e.v)"
+        )
+        ctes.append(
+            f"g{it} AS (SELECT (m).i AS cid, [{mean_list}] AS c "
+            f"FROM a{it} GROUP BY (m).i)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT {prev}.cid, coalesce(g{it}.c, {prev}.c) AS c "
+            f"FROM {prev} LEFT JOIN g{it} USING (cid))"
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"af AS (SELECT e.vec_id, e.v, "
+        f"min(struct_pack(s := {score('c.c', 'e.v')}, i := c.cid)) AS m "
+        f"FROM b e CROSS JOIN {prev} c GROUP BY e.vec_id, e.v)"
+    )
+    ctes.append(
+        f"qs AS (SELECT c.cid AS i, {score('c.c', 'q.v')} AS s "
+        f"FROM {prev} c CROSS JOIN (SELECT v FROM b WHERE vec_id = 0) q)"
+    )
+    ctes.append(f"probe AS (SELECT i FROM qs ORDER BY s ASC, i ASC LIMIT {NPROBE})")
+    return (
+        "WITH " + ",\n        ".join(ctes) + "\n"
+        "        SELECT vec_id,\n"
+        "               round(list_cosine_similarity(v, (SELECT v FROM b WHERE vec_id = 0)), 6) AS cosine\n"
+        "        FROM af\n"
+        "        WHERE (m).i IN (SELECT i FROM probe)\n"
+        "        ORDER BY cosine DESC, vec_id ASC\n"
+        "        LIMIT 10"
+    )
+
+
 def _x3_oracle_sql() -> str:
     """DuckDB twin of x3: reproduces the SRP buckets exactly.
 
@@ -949,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
     d["x2_simhash"] = _x2_oracle_sql()
     d["x3_lsh_ann"] = _x3_oracle_sql()
     d["x6_ivf_ann"] = _x6_oracle_sql()
+    d["x7_ivf_kmeans"] = _x7_oracle_sql()
     return d
 
 

@@ -240,3 +240,36 @@ def test_bucketed_seen_parity_and_plan(spark, fixture_dfs, engine_result, tmp_pa
     import re as _re
     right_side = seen_scan_section[_re.search(r"FileScan parquet [^\n]*seen_b", seen_scan_section).start()-400:]
     assert "Exchange hashpartitioning(url" not in right_side
+
+
+def test_politeness_annotate_matches_single_window_twin(spark):
+    """Spark politeness_annotate == the pure-Python single-window spec twin
+    (tests/test_properties.py proves twin == two-stage for arbitrary salts;
+    this parity transfers those properties to the Spark operator)."""
+    from warcit_spark.plans.politeness import politeness_annotate
+    from tests.test_properties import _pol_single_window
+
+    rows = []
+    delays = {"a.test": 1.0, "b.test": 2.0, "c.test": 0.0}
+    pri = [0.0, 0.5, 1.0, 1.0, 2.0]
+    for i in range(120):
+        host = ["a.test", "b.test", "c.test"][i % 3]
+        rows.append(
+            (host, f"http://{host}/p{i:03d}", pri[i % 5], delays[host],
+             (i % 7) != 0)
+        )
+    frontier = spark.createDataFrame(
+        rows, "host string, url string, priority double, crawl_delay double, allowed boolean"
+    )
+    got = {
+        r.url: r.rank_in_host
+        for r in politeness_annotate(
+            frontier, host_budget=5, n_salt=4, allowed_col="allowed"
+        ).collect()
+        if r.selected
+    }
+    twin_rows = [
+        {"host": h, "url": u, "priority": p, "delay": d, "allowed": a}
+        for (h, u, p, d, a) in rows
+    ]
+    assert got == _pol_single_window(twin_rows, 5)

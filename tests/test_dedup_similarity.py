@@ -334,3 +334,22 @@ def test_lsh_ann_multiprobe_recall_monotone(spark, sf_dir):
         prev = recall
     # probing every bucket (h = n_planes) degenerates to the exact scan
     assert prev == 1.0
+
+
+def test_kmeans_centroids_py_twin_bit_for_bit(spark, sf_dir):
+    """Spark kmeans_centroids == the pure-Python twin EXACTLY (not just
+    allclose): decimal-exact sums make the distributed result independent
+    of shuffle order, which is what lets the x7 DuckDB oracle replay the
+    quantizer in SQL."""
+    from warcit_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_centroids_py,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 128
+    )
+    got = kmeans_centroids(emb, k=4, iters=3)
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    want = kmeans_centroids_py(rows, k=4, iters=3)
+    assert got == want  # float-identical, every component

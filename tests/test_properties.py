@@ -80,3 +80,103 @@ def test_simhash_bitvote_matches_naive(hash_lists):
                 val |= 1 << b
         want = val - (1 << 64) if val >= (1 << 63) else val
         assert g == want
+
+
+# ------------------------------------------------ politeness two-stage spec
+# Pure-Python twins of plans/politeness.py: the SINGLE-WINDOW reference spec
+# (exact per-host top-budget) and the TWO-STAGE salted plan (per-(host,slot)
+# pre-rank, then exact rank over survivors).  politeness.py:22-33 claims
+# stage 1 loses nothing for ANY salt assignment; this property drives that
+# claim over random frontiers, budgets, delays, robots flags, and
+# hypothesis-chosen (adversarial) salt assignments — far beyond the single
+# distribution the crawl-parity tests cover.
+
+def _pol_budget(host_budget, delay):
+    return max(1, int(host_budget / max(1.0, delay)))
+
+
+def _pol_single_window(rows, host_budget):
+    """Spec: per host, allowed rows ordered (priority desc, url asc),
+    top budget(host) selected with their ranks."""
+    out = {}
+    hosts = {}
+    for r in rows:
+        hosts.setdefault(r["host"], []).append(r)
+    for host, rs in hosts.items():
+        budget = _pol_budget(host_budget, rs[0]["delay"])
+        eligible = sorted(
+            (r for r in rs if r["allowed"]),
+            key=lambda r: (-r["priority"], r["url"]),
+        )
+        for rank, r in enumerate(eligible[:budget], start=1):
+            out[r["url"]] = rank
+    return out
+
+
+def _pol_two_stage(rows, host_budget, salt_of):
+    """plans/politeness.py: stage 1 per-(host, slot) window ordered
+    (allowed desc, priority desc, url asc), _pre_ok = rownum <= budget AND
+    allowed; stage 2 exact per-host rank over _pre_ok survivors."""
+    slots = {}
+    for r in rows:
+        slots.setdefault((r["host"], salt_of(r["url"])), []).append(r)
+    survivors = []
+    for (host, _slot), rs in slots.items():
+        budget = _pol_budget(host_budget, rs[0]["delay"])
+        ordered = sorted(
+            rs, key=lambda r: (not r["allowed"], -r["priority"], r["url"])
+        )
+        for i, r in enumerate(ordered):
+            if i < budget and r["allowed"]:
+                survivors.append(r)
+    out = {}
+    hosts = {}
+    for r in survivors:
+        hosts.setdefault(r["host"], []).append(r)
+    for host, rs in hosts.items():
+        budget = _pol_budget(host_budget, rs[0]["delay"])
+        ordered = sorted(rs, key=lambda r: (-r["priority"], r["url"]))
+        for rank, r in enumerate(ordered[:budget], start=1):
+            out[r["url"]] = rank
+    return out
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.data())
+def test_politeness_two_stage_equals_single_window(data):
+    n = data.draw(st.integers(min_value=0, max_value=40), label="n_rows")
+    n_hosts = data.draw(st.integers(min_value=1, max_value=4), label="n_hosts")
+    host_budget = data.draw(st.integers(min_value=1, max_value=8), label="budget")
+    n_salt = data.draw(st.integers(min_value=1, max_value=8), label="n_salt")
+    delays = {
+        f"h{i}": data.draw(
+            st.sampled_from([0.0, 0.5, 1.0, 2.0, 5.0]), label=f"delay_h{i}"
+        )
+        for i in range(n_hosts)
+    }
+    rows = []
+    for i in range(n):
+        host = f"h{data.draw(st.integers(min_value=0, max_value=n_hosts - 1))}"
+        rows.append(
+            {
+                "host": host,
+                "url": f"http://{host}/p{i:03d}",
+                # few distinct priorities -> plenty of ties, url tiebreak
+                "priority": data.draw(
+                    st.sampled_from([0.0, 0.5, 1.0, 1.0, 2.0])
+                ),
+                "delay": delays[host],
+                "allowed": data.draw(st.booleans()),
+            }
+        )
+    # adversarial salt assignment: hypothesis picks each url's slot freely
+    # (murmur3 pmod is one instance of this space)
+    salts = {
+        r["url"]: data.draw(
+            st.integers(min_value=0, max_value=n_salt - 1), label="salt"
+        )
+        for r in rows
+    }
+    want = _pol_single_window(rows, host_budget)
+    got = _pol_two_stage(rows, host_budget, salts.__getitem__)
+    assert got == want

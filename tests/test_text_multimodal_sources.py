@@ -199,3 +199,126 @@ def test_zip_path_auto_resolution(spark, tmp_path_factory):
 
     with _pytest.raises(FileNotFoundError):
         scan_input(spark, "/nonexistent/nowhere", "http://z.test/")
+
+
+# -------------------------------------------------- real PNG/WAV codec kernels
+def test_png_roundtrip_all_filters():
+    """encode_png (filter 0) -> decode_png recovers pixels exactly; decode
+    also inverts Sub/Up/Average/Paeth filtered scanlines (spec §9)."""
+    import struct
+    import zlib
+
+    from warcit_spark.operators.media_codecs import (
+        PNG_MAGIC, decode_png, encode_png, parse_png_header,
+    )
+
+    px = bytes(((x * 13 + y * 7 + c * 3) % 256)
+               for y in range(5) for x in range(4) for c in range(3))
+    blob = encode_png(4, 5, 3, px)
+    hdr = parse_png_header(blob)
+    assert (hdr["width"], hdr["height"], hdr["channels"]) == (4, 5, 3)
+    w, h, ch, out = decode_png(blob)
+    assert (w, h, ch) == (4, 5, 3)
+    assert bytes(out) == px
+
+    # hand-build a PNG using every filter type once; pin the expected
+    # reconstruction against a straightforward reference computation
+    stride = 4 * 3
+    raw_rows = [bytes((y * 17 + i) % 256 for i in range(stride)) for y in range(5)]
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    # encode rows with filters [0,1,2,3,4] applied against the RECONSTRUCTED
+    # previous row (i.e. produce valid filtered data for known pixels)
+    recon = []
+    enc = bytearray()
+    for y, (f, want) in enumerate(zip([0, 1, 2, 3, 4], raw_rows)):
+        prev = recon[y - 1] if y else bytes(stride)
+        line = bytearray(want)
+        if f == 1:
+            for x in range(stride - 1, 2, -1):
+                line[x] = (line[x] - want[x - 3]) & 0xFF
+        elif f == 2:
+            for x in range(stride):
+                line[x] = (line[x] - prev[x]) & 0xFF
+        elif f == 3:
+            for x in range(stride):
+                left = want[x - 3] if x >= 3 else 0
+                line[x] = (line[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            from warcit_spark.operators.media_codecs import _paeth
+            for x in range(stride):
+                left = want[x - 3] if x >= 3 else 0
+                ul = prev[x - 3] if x >= 3 else 0
+                line[x] = (line[x] - _paeth(left, prev[x], ul)) & 0xFF
+        enc += bytes([f]) + bytes(line)
+        recon.append(want)
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+    blob2 = (PNG_MAGIC + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", zlib.compress(bytes(enc)))
+             + chunk(b"IEND", b""))
+    w, h, ch, out2 = decode_png(blob2)
+    assert bytes(out2) == b"".join(raw_rows)
+
+
+def test_wav_roundtrip_and_header():
+    from warcit_spark.operators.media_codecs import (
+        decode_wav, encode_wav, parse_wav_header,
+    )
+
+    samples = [((j % 16) - 8) / 8.0 for j in range(80)]
+    blob = encode_wav(samples, sample_rate=16000, channels=1)
+    hdr = parse_wav_header(blob)
+    assert hdr["channels"] == 1
+    assert hdr["sample_rate"] == 16000
+    assert hdr["bits_per_sample"] == 16
+    assert hdr["n_frames"] == 80
+    assert abs(hdr["duration_s"] - 80 / 16000) < 1e-9
+    h2, got = decode_wav(blob)
+    assert len(got) == 80
+    assert max(abs(a - b) for a, b in zip(got, samples)) < 1e-3
+
+
+def test_wav_header_matches_stdlib_wave():
+    """Pin our RIFF walk against the stdlib wave module on the same bytes."""
+    import io
+    import wave
+
+    from warcit_spark.operators.media_codecs import encode_wav, parse_wav_header
+
+    blob = encode_wav([0.1] * 123, sample_rate=22050, channels=2)
+    with wave.open(io.BytesIO(blob)) as wf:
+        assert wf.getnchannels() == 2
+        assert wf.getframerate() == 22050
+        assert wf.getsampwidth() == 2
+        hdr = parse_wav_header(blob)
+        assert hdr["channels"] == wf.getnchannels()
+        assert hdr["sample_rate"] == wf.getframerate()
+        assert hdr["n_frames"] == wf.getnframes()
+
+
+def test_media_features_real_png_wav(spark):
+    """PNG/WAV fixture rows decode for real — no fake flag needed — and the
+    features carry genuine dimensions/duration."""
+    from warcit_spark.operators.multimodal import extract_media_meta
+
+    media = generate_media_fixture(spark, 10)
+    real = media.where("media_id % 5 in (0, 3)")
+    out = {r.media_id: list(r.feature)
+           for r in extract_media_features(real, deterministic_fake=False).collect()}
+    assert len(out) == 4  # ids 0,3,5,8
+    # PNG rows: [w, h, ch, means..., bitdepth-flag]
+    assert out[0][:3] == [4.0, 3.0, 3.0]
+    assert out[5][:3] == [4.0, 3.0, 3.0]
+    # WAV rows: duration 40/8000 s, rate/1e5
+    assert abs(out[3][0] - 40 / 8000) < 1e-6
+    assert abs(out[3][1] - 8000 / 1e5) < 1e-6  # float32 feature column
+
+    # meta struct fill via real header parse
+    metas = {r.media_id: r.meta for r in extract_media_meta(media).collect()}
+    assert metas[0].mime == "image/png" and metas[0].width == 4 and metas[0].height == 3
+    assert metas[3].mime == "audio/wav" and abs(metas[3].duration_s - 0.005) < 1e-9
+    assert metas[1] is None  # jpeg filler: no real parse

@@ -199,6 +199,14 @@ def kmeans_centroids(
     O(n·k·dim) compute, O(k·dim) shuffle (map-side partial means), zero
     Python in the loop.  Returns driver-side centroids (k x dim floats —
     tiny by construction), the shape ``ivf_topk`` consumes.
+
+    BIT-REPRODUCIBLE: per-dimension sums are DECIMAL(30,12) (elements
+    quantized at cast, integer-exact addition — order-independent, so
+    shuffle fetch order cannot drift the result the way double sums
+    would), and the mean is one float division of the exact sum.  The
+    pure-Python twin :func:`kmeans_centroids_py` reproduces the centroids
+    bit-for-bit (pinned by test), which is what lets a DuckDB oracle
+    replay the quantizer.
     """
     dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
@@ -216,14 +224,65 @@ def kmeans_centroids(
             .groupBy("_c")
             .agg(
                 F.count("*").alias("_n"),
-                *[F.sum(F.col("_v")[d]).alias(f"_s{d}") for d in range(dim)],
+                *[
+                    F.sum(F.col("_v")[d].cast("decimal(30,12)")).alias(f"_s{d}")
+                    for d in range(dim)
+                ],
             )
             .collect()
         )
         new = list(cents)
         for r in sums:
             n = r["_n"] or 1
-            new[r["_c"]] = [r[f"_s{d}"] / n for d in range(dim)]
+            new[r["_c"]] = [float(r[f"_s{d}"]) / n for d in range(dim)]
+        cents = new
+    return cents
+
+
+def kmeans_centroids_py(
+    rows: list[tuple[int, list[float]]], k: int = 8, iters: int = 5
+) -> list[list[float]]:
+    """Pure-Python twin of :func:`kmeans_centroids` — bit-for-bit equal
+    centroids (pinned by test), so DuckDB oracles can replay the quantizer
+    without a SparkSession.
+
+    Mirrors each Spark step exactly: double→DECIMAL(30,12) quantization is
+    HALF_UP on the shortest-repr decimal (Spark's Decimal(double) path),
+    sums are exact integers, the mean is float(exact decimal) / n, and the
+    assignment argmin folds ``c2 - 2.0*dot`` left-to-right with a
+    lowest-index tie-break, like ``_nearest_centroid_expr``.
+    """
+    import decimal
+
+    q = decimal.Decimal("1e-12")
+
+    def quant(v: float) -> decimal.Decimal:
+        return decimal.Decimal(repr(v)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+
+    rows = sorted(rows)
+    cents = [[float(x) for x in vec] for _, vec in rows[:k]]
+    vecs = [[float(x) for x in vec] for _, vec in rows]
+    qvecs = [[quant(x) for x in vec] for vec in vecs]
+    dim = len(cents[0])
+    for _ in range(iters):
+        c2s = [sum(x * x for x in c) for c in cents]
+        sums = {}
+        for v, qv in zip(vecs, qvecs):
+            best_i, best_s = None, None
+            for i, c in enumerate(cents):
+                dot = 0.0
+                for a, b in zip(v, c):
+                    dot = dot + a * b
+                s = c2s[i] - 2.0 * dot
+                if best_s is None or s < best_s:
+                    best_i, best_s = i, s
+            n, acc = sums.setdefault(best_i, [0, [decimal.Decimal(0)] * dim])
+            sums[best_i][0] = n + 1
+            for d in range(dim):
+                acc[d] += qv[d]
+        new = list(cents)
+        for i, (n, acc) in sums.items():
+            new[i] = [float(acc[d]) / n for d in range(dim)]
         cents = new
     return cents
 
