@@ -6,7 +6,11 @@ benchmark over a generated synthetic pages corpus, then prints ONE JSON
 line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
 
 Each query is forced end-to-end with a noop-format write (full compute,
-no driver collect overhead).  The crawl benchmark reports urls/sec
+no driver collect overhead).  Query timings are MEDIAN-OF-REPEATS
+(default 3 interleaved suite passes — slow drift lands across all
+queries, not one; single-shot timings on this box vary up to ~2x):
+``queries`` holds the medians, ``queries_min``/``queries_samples`` the
+min and the raw per-pass samples.  The crawl benchmark reports urls/sec
 (scheduled+fetched per second — the BASELINE.json target metric) alongside
 the suite seconds.
 """
@@ -53,11 +57,27 @@ CRAWL_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "1000000"))
 CRAWL_WARMUP = 2  # rounds excluded from the throughput number (JVM/codegen)
 
 
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def bench_queries(
+    spark, sf_dir: str, reps: int = BENCH_REPS
+) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]]]:
+    """(median, min, samples) per query over ``reps`` INTERLEAVED suite
+    passes — the whole suite repeats, so machine drift (thermal, page
+    cache, background GC) spreads over every query instead of whichever
+    one it hit (bench_scaling.py's discipline; r3 recorded 2x single-shot
+    swings on j1/q3/t5 that medians absorb)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -65,13 +85,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # JIT/codegen/scan-init that would otherwise land entirely on whichever
     # query runs first (r2: q1 read 8.1 s vs its steady ~2 s)
     _force(qs[HEADLINE[0]](spark, sf_dir))
-    out = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(max(1, reps)):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            samples[name].append(round(time.perf_counter() - t0, 3))
+    med = {n: round(_median(v), 3) for n, v in samples.items()}
+    mins = {n: round(min(v), 3) for n, v in samples.items()}
+    return med, mins, samples
 
 
 def bench_crawl(
@@ -170,7 +193,7 @@ def main() -> None:
     spark = get_spark("warcit-spark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = bench_queries(spark, sf_dir)
+    queries, queries_min, queries_samples = bench_queries(spark, sf_dir)
     crawl = bench_crawl(spark)
     # CC-weight corpus (~8 KiB html, ~25 links/page — the design-point
     # per-URL work; the light corpus above is kept for round-over-round
@@ -190,6 +213,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {**queries, "crawl_loop": crawl["crawl_sec"]},
+        "queries_min": queries_min,
+        "queries_samples": queries_samples,
+        "query_reps": BENCH_REPS,
         "sf": sf,
         "cpus": cpus,
         "crawl_urls_per_sec": crawl["crawl_urls_per_sec"],

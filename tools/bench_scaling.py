@@ -59,15 +59,18 @@ robots = generate_robots(spark)
 cfg = CrawlConfig(host_budget={budget}, max_rounds={rounds}, n_salt=16,
                   broadcast_fetch=False)
 
-# JIT/codegen warmup OUTSIDE the measurement: a throwaway 2-round crawl on
-# a small seed sample compiles both plan shapes (round 0: no seen table;
-# round 1+: bucketed-seen anti-join), so the measured rounds below — the
-# LARGE early rounds, before the finite fixture frontier drains — run on
-# warm code paths at both parallelism levels.
+# JIT/codegen/HEAP warmup OUTSIDE the measurement: a throwaway 2-round
+# crawl at FULL seed size compiles both plan shapes (round 0: no seen
+# table; round 1+: bucketed-seen anti-join) AND forces the first big-round
+# heap expansion (G1 grows the heap 2-4x on the first full-size shuffle
+# burst — measured to inflate that round disproportionately at the higher
+# parallelism level).  A 10^10-URL production frontier is always in steady
+# state; the cold-heap first round is a microbenchmark artifact, so it is
+# excluded at BOTH levels identically.
 wroot = tempfile.mkdtemp(prefix="scalewarm_", dir={state_dir!r})
 wstate = CrawlState(wroot, seen_buckets=64)
 wstate.write_delta(canonical_seed_frontier(
-    generate_seed_sample(spark, {n_pages}, 50_000, {n_hosts})), "frontier", 0)
+    generate_seed_sample(spark, {n_pages}, {n_seeds}, {n_hosts})), "frontier", 0)
 for r in range(2):
     crawl_round(spark, wstate, pages, robots, r, cfg, md)
 shutil.rmtree(wroot, ignore_errors=True)
