@@ -635,6 +635,29 @@ def t8_repetition(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def cc1_dup_clusters(spark, sf_dir):
+    """Connected components over a deterministic near-dup graph
+    (operators/graph.py, alternating large-star/small-star — Kiveris et
+    al. SoCC'14): chains of 7 docs bridged every 21 ids collapse into 3
+    interleaved giant components.  The DuckDB oracle computes the same
+    labels via a recursive-CTE transitive closure (tractable at the
+    300-node fixture; the Spark side is the O(log^2 n)-round scale
+    path)."""
+    from warcit_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    e1 = d.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    e2 = d.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") >= 21)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 21).alias("dst")
+    )
+    cc = connected_components(e1.unionByName(e2))
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    ).orderBy("doc_id")
+
+
 def t9_tfidf_topk(spark, sf_dir):
     """Per-document top-3 characteristic terms by tf·(N/df) — the
     inverted-index + window pattern (functions/text.tfidf_topk_terms).
@@ -817,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_ivf_kmeans": x7_ivf_kmeans,
         "t7_pii_scrub": t7_pii_scrub,
         "t8_repetition": t8_repetition,
+        "cc1_dup_clusters": cc1_dup_clusters,
         "t9_tfidf_topk": t9_tfidf_topk,
         "smp1_stratified_sample": smp1_stratified_sample,
         "x4_asof_join": x4_asof_join,
@@ -1115,6 +1139,24 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id, rank
     """
     d["smp1_stratified_sample"] = _smp1_oracle_sql()
+    d["cc1_dup_clusters"] = """
+        WITH RECURSIVE
+        d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        e AS (
+          SELECT doc_id AS a, doc_id - 1 AS b FROM d WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id AS a, doc_id - 21 AS b FROM d
+          WHERE doc_id % 3 = 0 AND doc_id >= 21
+        ),
+        sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        reach(a, b) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        )
+        SELECT a AS doc_id, least(a, min(b)) AS cluster
+        FROM reach GROUP BY a ORDER BY doc_id
+    """
     return d
 
 

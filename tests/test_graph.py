@@ -1,0 +1,81 @@
+"""Connected components (large-star/small-star) vs a union-find twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from warcit_spark.operators.graph import connected_components, dup_clusters
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node of the set
+    return {n: find(n) for n in parent}
+
+
+def _assert_matches(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    want = _union_find(edges)
+    # union-find with min-merge yields the min label directly
+    assert got == want
+
+
+def test_cc_simple_chain_and_clique(spark):
+    _assert_matches(spark, [(3, 2), (2, 1), (10, 11), (11, 12), (12, 10)])
+
+
+def test_cc_large_star_fixed_point_pathology(spark):
+    """{(v,a),(v,b)} with a,b < v is a large-star fixed point that is NOT
+    a star graph — the convergence probe must not stop there."""
+    _assert_matches(spark, [(9, 1), (9, 2)])
+
+
+def test_cc_duplicate_reversed_and_self_edges(spark):
+    _assert_matches(
+        spark, [(1, 2), (2, 1), (2, 2), (2, 3), (3, 1), (7, 8), (8, 7)]
+    )
+
+
+def test_cc_long_path_converges_logarithmically(spark):
+    # a 64-node path is the classic worst case for label propagation;
+    # star-alternation collapses it in O(log^2 n) alternations
+    edges = [(i, i + 1) for i in range(64)]
+    _assert_matches(spark, edges)
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        _assert_matches(spark, edges)
+
+
+def test_dup_clusters_representative_assignment(spark):
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 4), (2, 3)], "doc_id_a long, doc_id_b long"
+    )
+    out = {r.doc_id: r.cluster for r in dup_clusters(pairs).collect()}
+    assert out == {0: 0, 1: 0, 4: 0, 2: 2, 3: 2}
+    # keepers: one per cluster
+    keepers = {d for d, c in out.items() if d == c}
+    assert keepers == {0, 2}

@@ -1,0 +1,147 @@
+"""Connected components — dup-cluster resolution for the dedup family.
+
+Near-dup detection (MinHash/SimHash/ngram-Jaccard, operators/dedup.py)
+emits PAIRS; a training-data pipeline then needs each document's CLUSTER
+(keep one representative per component, drop the rest).  At 10^10 docs
+that is a large-scale connected-components problem.
+
+The implementation is the alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14
+— public literature):
+
+- large-star (per center u over the SYMMETRIZED neighborhood): every
+  neighbor v > u re-points to m(u) = min(Γ(u) ∪ {u}).
+- small-star (per center u over edges oriented larger→smaller): u and
+  every smaller neighbor point to min(Γ⁻(u) ∪ {u}).
+
+Both passes are expressed as a groupBy-min + equi-join back — NOT a
+``collect_set`` of neighborhoods, so a hot component center (which
+accumulates millions of neighbors as the component collapses) never
+materializes its neighbor list in one task; skew lands on AQE's
+skew-join handling instead.  Convergence is O(log² n) alternations on
+any graph; each iteration costs two such passes plus one scalar
+convergence probe.  No driver-side graph state.
+
+Determinism: labels are component MINIMUM node ids — a pure function of
+the graph, independent of partitioning or iteration order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star pass: (v, m(u)) for every center u and neighbor
+    v > u, with m(u) = min(Γ(u) ∪ {u})."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).where(F.col("src") != F.col("dst"))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_minn"))
+    m = F.least(F.col("src"), F.col("_minn"))
+    return (
+        sym.join(mins, on="src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), m.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star pass: orient larger→smaller; each center u and all
+    its smaller neighbors point at min(Γ⁻(u) ∪ {u})."""
+    e = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = e.groupBy("u").agg(F.min("v").alias("_minv"))
+    pointed = e.join(mins, on="u").select(
+        F.col("v").alias("src"), F.col("_minv").alias("dst")
+    )
+    centers = mins.select(F.col("u").alias("src"), F.col("_minv").alias("dst"))
+    return (
+        pointed.unionByName(centers)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = the
+    minimum node id of its connected component.
+
+    ``edges`` is undirected input — (a, b) and (b, a) are equivalent,
+    self-loops ignored.  Isolated nodes don't appear in an edge list;
+    callers wanting singleton rows left-join this output back onto their
+    node table and ``coalesce(component, node)``.
+
+    The loop ends when a further large-star pass is a no-op (the edge set
+    is a star graph: every node points at its component minimum).  Raises
+    after ``max_iter`` — convergence is O(log² n) alternations, so a
+    non-converged graph signals pathological input.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    # localCheckpoint per iteration TRUNCATES lineage — the star passes
+    # reference their input several times (symmetrize union + min-join),
+    # so an un-truncated plan doubles every iteration and the driver OOMs
+    # analyzing it long before the data is big (the classic iterative-
+    # DataFrame pitfall; persist alone does not cut the logical plan)
+    e = e.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        stepped = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # converged iff the alternation is a no-op (set equality with the
+        # previous edge set).  NB a large-star-only probe is NOT enough:
+        # {(v,a),(v,b)} with a,b < v is a large-star fixed point that is
+        # not a star graph — the small-star pass is what collapses it.
+        changed = (
+            stepped.exceptAll(e).limit(1).count()
+            + e.exceptAll(stepped).limit(1).count()
+        )
+        e = stepped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+
+    # star graph: every edge is node -> component minimum; the minimum
+    # itself joins as its own component member
+    comps = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comps.unionByName(roots).distinct()
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pairs -> (doc_id, cluster) with cluster = min doc id of
+    the dup group — the keep-one-representative assignment
+    (``doc_id == cluster`` rows are the keepers)."""
+    cc = connected_components(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+        max_iter=max_iter,
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
