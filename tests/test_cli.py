@@ -145,3 +145,18 @@ def test_make_name_matches_reference_rules():
     assert make_name(None, ["site.zip/www.example.com/"], True) == "www.example.com.warc.gz"
     assert make_name("x.tar.gz", ["/a"], True) == "x.warc.gz"
     assert make_name("plain", ["/a"], False) == "plain.warc"
+
+
+def test_cli_warcinfo_names_final_file_and_version(spark, site, in_tmp_cwd):
+    """Fidelity mode: the warcinfo record's WARC-Filename is the FINAL
+    .warc.gz name (not the temp part), has no engine partition field, and
+    its software version matches -V."""
+    from warcit_spark import __version__
+
+    assert main(["-q", "http://cli.test/", site]) == 0
+    name = os.path.basename(site) + ".warc.gz"
+    info = read_warc_records(name)[0]
+    assert info["headers"]["WARC-Type"] == "warcinfo"
+    assert info["headers"]["WARC-Filename"] == name
+    assert b"partition:" not in info["payload"]
+    assert f"software: warcit-spark/{__version__}".encode() in info["payload"]

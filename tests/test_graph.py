@@ -79,3 +79,19 @@ def test_dup_clusters_representative_assignment(spark):
     # keepers: one per cluster
     keepers = {d for d, c in out.items() if d == c}
     assert keepers == {0, 2}
+
+
+def test_cc_string_ids(spark):
+    """Ids keep their native type: string doc ids (urls) work, labels are
+    the lexicographic minimum — no long cast (which would ANSI-crash or
+    NULL-out every edge)."""
+    pairs = spark.createDataFrame(
+        [("http://a/2", "http://a/1"), ("http://a/1", "http://b/9")],
+        "doc_id_a string, doc_id_b string",
+    )
+    out = {r.doc_id: r.cluster for r in dup_clusters(pairs).collect()}
+    assert out == {
+        "http://a/1": "http://a/1",
+        "http://a/2": "http://a/1",
+        "http://b/9": "http://a/1",
+    }

@@ -402,3 +402,26 @@ def test_tfidf_topk_terms_golden(spark):
     assert out[(0, 2)] == ("common", 1.0)
     assert out[(1, 1)] == ("duck", 6.0)
     assert out[(2, 1)] == ("unique", 3.0)
+
+
+def test_media_corrupt_png_falls_back_to_fake(spark):
+    """Valid PNG magic + garbage IDAT must not kill the batch when the
+    deterministic fake is on (zlib errors normalize to ValueError)."""
+    from warcit_spark.operators.media_codecs import PNG_MAGIC
+    import struct
+
+    bad = (PNG_MAGIC
+           + struct.pack(">I4s", 13, b"IHDR")
+           + struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0) + b"\x00" * 4
+           + struct.pack(">I4s", 8, b"IDAT") + b"garbage!" + b"\x00" * 4
+           + struct.pack(">I4s", 0, b"IEND") + b"\x00" * 4)
+    media = spark.createDataFrame(
+        [(0, "image", bad, None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string, width:int, height:int, duration_s:double>",
+    )
+    out = extract_media_features(media, deterministic_fake=True).collect()
+    assert len(out) == 1 and out[0].feat_dim == 8
+    import pytest as _pytest
+    with _pytest.raises(Exception):  # without the fake: NotImplementedError
+        extract_media_features(media, deterministic_fake=False).collect()

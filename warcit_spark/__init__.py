@@ -19,6 +19,6 @@ Layout
 
 from warcit_spark.session import get_spark
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = ["get_spark", "__version__"]

@@ -28,7 +28,7 @@ import sys
 import tempfile
 from argparse import ArgumentParser
 
-__version__ = "0.4.0-spark"
+from warcit_spark import __version__  # single version constant (warcinfo software field uses it too)
 
 logger = logging.getLogger("warcit_spark.cli")
 
@@ -244,10 +244,21 @@ def main(argv: list[str] | None = None) -> int:
     with tempfile.TemporaryDirectory(prefix="warcit-spark-") as tmp:
         if valid_inputs:
             try:
+                # records built ONCE (eager strict: a duplicate-mapfile
+                # run fails here, before any output is written — the
+                # reference's abort) and shared by the write and the
+                # --log sidecar; persisted when both consume it so the
+                # site is scanned once
+                records = files_to_warc_records(
+                    spark, valid_inputs, r.url_prefix, **kwargs
+                )
+                if r.log:
+                    records = records.persist()
                 manifest = warcit_run(
                     spark, valid_inputs, r.url_prefix, os.path.join(tmp, "out"),
                     mode="xb", gzip_records=gzip_records, one_file=True,
-                    warcinfo=not r.no_warcinfo, cmdline=cmdline, **kwargs,
+                    warcinfo=not r.no_warcinfo, cmdline=cmdline,
+                    records=records, warcinfo_filename=name,
                 ).collect()
             except MapfileUniquenessError as e:
                 logger.error(str(e))
@@ -255,10 +266,8 @@ def main(argv: list[str] | None = None) -> int:
             parts = [m.path for m in manifest]
             count = sum(m.n_records for m in manifest)
             if r.log:
-                _write_cli_log(
-                    files_to_warc_records(spark, valid_inputs, r.url_prefix, **kwargs),
-                    r.log,
-                )
+                _write_cli_log(records, r.log)
+                records.unpersist()
         else:
             parts = []
             if r.log:

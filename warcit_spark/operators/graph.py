@@ -74,7 +74,9 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = the
-    minimum node id of its connected component.
+    minimum node id of its connected component (minimum under the id
+    type's natural ordering — longs, strings, and any orderable Spark
+    type all work).
 
     ``edges`` is undirected input — (a, b) and (b, a) are equivalent,
     self-loops ignored.  Isolated nodes don't appear in an edge list;
@@ -86,11 +88,12 @@ def connected_components(
     after ``max_iter`` — convergence is O(log² n) alternations, so a
     non-converged graph signals pathological input.
     """
+    # ids keep their native type — any orderable type works (the labels
+    # are component minima under that type's ordering); casting to long
+    # here would ANSI-crash or NULL-out string doc ids from the dedup
+    # operators this feeds
     e = (
-        edges.select(
-            F.col(src_col).cast("long").alias("src"),
-            F.col(dst_col).cast("long").alias("dst"),
-        )
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .where(F.col("src") != F.col("dst"))
         .distinct()

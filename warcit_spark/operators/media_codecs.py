@@ -56,8 +56,9 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
     """(width, height, channels, raw 8-bit pixels row-major) of a
     non-interlaced 8-bit-depth PNG.  Raises ValueError on anything this
-    decoder does not cover (interlace, 16-bit, palette) — the caller
-    decides whether to fall back."""
+    decoder does not cover (interlace, 16-bit, palette) AND on corrupt
+    input (bad deflate data, truncated chunks) — one exception type, so
+    callers have a single fall-back decision."""
     hdr = parse_png_header(data)
     if hdr is None:
         raise ValueError("not a PNG")
@@ -65,7 +66,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
         raise ValueError("unsupported PNG variant (interlaced/16-bit/palette)")
     w, h, ch = hdr["width"], hdr["height"], hdr["channels"]
 
-    # walk chunks, concatenate IDAT
+    # walk chunks, concatenate IDAT (truncated chunk -> ValueError)
     idat = bytearray()
     i = 8
     while i + 8 <= len(data):
@@ -76,7 +77,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
         if ctype == b"IEND":
             break
         i += 12 + length  # len + type + payload + crc
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt deflate stream -> normalized error
+        raise ValueError(f"PNG IDAT stream does not inflate: {e}") from e
 
     stride = w * ch
     if len(raw) != h * (stride + 1):
@@ -184,7 +188,7 @@ def decode_wav(data: bytes) -> tuple[dict, list[float]]:
         i += 8 + csize + (csize & 1)
     if hdr["bits_per_sample"] == 16:
         n = len(payload) // 2
-        ints = struct.unpack(f"<{n}h", payload[: n * 2])
+        ints = struct.unpack(f"<{n}h", payload[: n * 2])  # n*2 slice: never short
         samples = [v / 32768.0 for v in ints]
     else:  # PCM8 is unsigned
         samples = [(b - 128) / 128.0 for b in payload]

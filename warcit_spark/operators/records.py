@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,8 +50,11 @@ def json_metadata_batch(md):
         for k, v in zip(md.columns, row):
             # None / scalar NaN only — `v != v` on a list/ndarray-valued
             # cell (array/map struct field) is ambiguous-truth, so the
-            # NaN probe is gated to float scalars
-            if v is None or (isinstance(v, float) and v != v):
+            # NaN probe is gated to float scalars; np.floating covers
+            # FloatType cells, which pandas hands over as np.float32
+            if v is None or (
+                isinstance(v, (float, np.floating)) and v != v
+            ):
                 continue
             if isinstance(v, (list, tuple)):
                 clean[k] = [x.item() if hasattr(x, "item") else x for x in v]

@@ -39,8 +39,15 @@ def rate_threshold_hex(rate: float) -> str:
 
 
 def sample_predicate(key: Column, rate: float) -> Column:
-    """Row-local deterministic membership test at a fixed rate."""
-    return F.md5(key.cast("string")) < F.lit(rate_threshold_hex(rate))
+    """Row-local deterministic membership test at a fixed rate.
+
+    NULL keys NEVER sample (explicitly, at every rate including 1.0):
+    a NULL has no identity to hash, so letting it ride would make the
+    sample content-dependent on upstream null handling.  Callers wanting
+    NULL rows must clean or key them first."""
+    return key.isNotNull() & (
+        F.md5(key.cast("string")) < F.lit(rate_threshold_hex(rate))
+    )
 
 
 def deterministic_sample(
@@ -63,7 +70,8 @@ def stratified_sample(
     join; membership stays a row-local predicate.
 
     ``rates`` maps stratum value -> rate; strata not listed use
-    ``default_rate``.  At scale the dim is tiny (one row per domain) and
+    ``default_rate``.  NULL keys never sample (see
+    :func:`sample_predicate`).  At scale the dim is tiny (one row per domain) and
     the md5 compare runs inside whole-stage codegen.
     """
     spark = df.sparkSession
@@ -73,7 +81,8 @@ def stratified_sample(
     )
     default_thresh = F.lit(rate_threshold_hex(default_rate))
     joined = df.join(F.broadcast(dim), on=stratum_col, how="left")
-    keep = F.md5(F.col(key_col).cast("string")) < F.coalesce(
-        F.col("_thresh"), default_thresh
+    keep = F.col(key_col).isNotNull() & (
+        F.md5(F.col(key_col).cast("string"))
+        < F.coalesce(F.col("_thresh"), default_thresh)
     )
     return joined.where(keep).drop("_thresh")

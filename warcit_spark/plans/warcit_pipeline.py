@@ -120,6 +120,7 @@ def files_to_warc_records(
     transclusions: DataFrame | None = None,
     mime_method: str = "filename",
     tika_results: DataFrame | None = None,
+    strict_mapfile: str = "eager",
 ) -> DataFrame:
     """One DataFrame of WARC records: (url, record_type, warc_date,
     content_type, payload, payload_digest, source_uri, size, refer-back
@@ -156,14 +157,19 @@ def files_to_warc_records(
     # F1 — before any mime/mapfile work (predicate pushdown, warcit.py:466-475)
     files = apply_include_exclude(files, "filename", include, exclude)
 
-    # J1 — mapfile lookup; unmatched rows keep NULLs.  The strict
-    # uniqueness check rides the sink's action (observe metrics) instead of
-    # costing its own job — capture it here and re-attach to the records
-    # frame so warcit_run can verify after its write.
+    # J1 — mapfile lookup; unmatched rows keep NULLs.  Strictness:
+    # "eager" (default — safe for ANY direct caller) verifies uniqueness
+    # NOW via the observation's column-pruned fallback scan (one
+    # filename-only job, far cheaper than the old full-materialize
+    # check); "deferred" attaches the check to the records frame so
+    # warcit_run can let it ride the write job (zero extra actions).
     strict_check = None
     if mapfile is not None:
         files = mapfile_suffix_join(files, mapfile)
         strict_check = strict_check_of(files)
+        if strict_mapfile == "eager" and strict_check is not None:
+            verify_mapfile_uniqueness(strict_check)
+            strict_check = None
     else:
         files = (
             files.withColumn("map_url", F.lit(None).cast("string"))
@@ -438,6 +444,8 @@ def warcit_run(
     num_parts: int | None = None,
     warcinfo: bool = True,
     cmdline: str | None = None,
+    records: DataFrame | None = None,
+    warcinfo_filename: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """The full CLI-equivalent run: records -> ordered .warc.gz part files.
@@ -453,7 +461,12 @@ def warcit_run(
     whole) — the shape that scales; ``one_file=True`` is the single-file
     fidelity mode matching the reference CLI.  Returns the write manifest.
     """
-    records = files_to_warc_records(spark, input_dir, url_prefix, **kwargs)
+    if records is None:
+        # deferred strict check: it rides the write job below (zero extra
+        # actions in the happy path)
+        records = files_to_warc_records(
+            spark, input_dir, url_prefix, strict_mapfile="deferred", **kwargs
+        )
     sort_cols = [
         F.col("_sort_uri").asc(), F.col("_class").asc(), F.col("_seq").asc()
     ]
@@ -468,14 +481,23 @@ def warcit_run(
     # warcinfo cmdline: the CLI-equivalent invocation (warcit.py:454)
     if cmdline is None:
         cmdline = f"warcit-spark {url_prefix} {input_dir}"
+    strict_check = strict_check_of(records)
+    if mode == "wb" and strict_check is not None:
+        # destructive overwrite: verify BEFORE touching out_dir (one
+        # filename-only scan) so a doomed strict-mapfile run cannot
+        # clobber a previous good output; xb/ab keep the zero-extra-job
+        # ride-the-write path (xb writes into an empty dir, ab appends
+        # new generations — nothing pre-existing is destroyed either way)
+        verify_mapfile_uniqueness(strict_check)
+        strict_check = None
     manifest = write_warc_files(
         ordered, out_dir, gzip_records=gzip_records, mode=mode, cmdline=cmdline,
-        warcinfo=warcinfo,
+        warcinfo=warcinfo, warcinfo_filename=warcinfo_filename,
     )
     # run the write HERE so the mapfile strict check (observe metrics
     # riding the write job — zero extra actions in the happy path) can
     # raise before the manifest is handed back; the returned frame is a
     # local relation, so callers' .collect() is free
     rows = manifest.collect()
-    verify_mapfile_uniqueness(strict_check_of(records))
+    verify_mapfile_uniqueness(strict_check)
     return spark.createDataFrame(rows, manifest.schema)

@@ -31,7 +31,9 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-SOFTWARE = "warcit-spark/0.1.0"
+from warcit_spark import __version__ as _VERSION
+
+SOFTWARE = f"warcit-spark/{_VERSION}"
 _NAMESPACE = uuid.uuid5(uuid.NAMESPACE_URL, "warcit-spark")
 
 
@@ -73,16 +75,21 @@ def _record_bytes(
     return b"".join(head_lines) + payload + b"\r\n\r\n"
 
 
-def _warcinfo_bytes(filename: str, partition_id: int, cmdline: str | None = None) -> bytes:
+def _warcinfo_bytes(
+    filename: str, partition_id: int | None, cmdline: str | None = None
+) -> bytes:
     """warcinfo manifest fields: software/format like the reference's
     make_warcinfo (warcit/warcit.py:450-462, incl. its cmdline field),
-    plus the partition id (this sink's multi-part analog of one file)."""
+    plus the partition id (this sink's multi-part analog of one file;
+    ``None`` = single-file fidelity mode, no partition field — the
+    reference's exact field set)."""
     fields = f"software: {SOFTWARE}\r\nformat: WARC File Format 1.0\r\n"
     if cmdline:
         fields += f"cmdline: {cmdline}\r\n"
-    fields += f"partition: {partition_id}\r\n"
+    if partition_id is not None:
+        fields += f"partition: {partition_id}\r\n"
     fields = fields.encode()
-    rid = uuid.uuid5(_NAMESPACE, f"warcinfo:{filename}")
+    rid = uuid.uuid5(_NAMESPACE, f"warcinfo:{filename}:{cmdline or ''}")
     return _record_bytes(
         "warcinfo",
         [
@@ -101,6 +108,7 @@ def write_warc_files(
     mode: str = "xb",
     cmdline: str | None = None,
     warcinfo: bool = True,
+    warcinfo_filename: str | None = None,
 ) -> DataFrame:
     """Write records to ``out_dir/part-<pid>.warc[.gz]``.
 
@@ -109,6 +117,12 @@ def write_warc_files(
     Record-IDs are deterministic (uuid5 of type+url+date) so re-runs are
     byte-identical — the engine's reproducible-output stance (SURVEY.md
     §4.2 'deterministic output').
+
+    ``warcinfo_filename``: single-file fidelity mode — the warcinfo
+    record names the FINAL file the caller will assemble (WARC-Filename,
+    and no engine partition field), not the temp part; the CLI passes the
+    target .warc.gz name here so replay/indexing tools keying on
+    WARC-Filename see the real name.
     """
     if mode not in ("xb", "wb", "ab"):
         raise ValueError(f"mode must be xb/wb/ab, got {mode!r}")
@@ -169,7 +183,11 @@ def write_warc_files(
                         # --no-warcinfo (warcit/warcit.py:93-96): suppress
                         # the per-file warcinfo preamble entirely
                         if warcinfo:
-                            emit(_warcinfo_bytes(name, pid, cmdline))
+                            emit(_warcinfo_bytes(
+                                warcinfo_filename or name,
+                                None if warcinfo_filename else pid,
+                                cmdline,
+                            ))
                     payload = bytes(r.payload) if r.payload is not None else b""
                     if has_record_id and getattr(r, "record_id", None):
                         rid_header = r.record_id
@@ -224,7 +242,7 @@ def write_warcinfo_only(
     output (the reference still writes 'Wrote 0 resources to <name>',
     test/test_warcit.py:160-166).  Driver-side: there is nothing to
     distribute."""
-    raw = _warcinfo_bytes(warc_name, 0, cmdline)
+    raw = _warcinfo_bytes(warc_name, None, cmdline)
     with open(path, "wb") as fh:
         fh.write(gzip.compress(raw, 6) if gzip_records else raw)
     return path
