@@ -113,6 +113,24 @@ def main():
         return out
 
     try:
+        # PP_WARM=1: replicate the scaling child's context — a throwaway
+        # 2-round crawl at full seed size in a separate state dir BEFORE
+        # profiling (needed to study the post-warmup round-0 anomaly)
+        if os.environ.get("PP_WARM") == "1":
+            from warcit_spark.plans.state import CrawlState as _CS
+
+            wroot = tempfile.mkdtemp(prefix="ppwarm_", dir=state_dir)
+            wstate = _CS(wroot, seen_buckets=64)
+            wstate.write_delta(
+                canonical_seed_frontier(
+                    generate_seed_sample(spark, n_pages, n_seeds, n_hosts)
+                ),
+                "frontier", 0,
+            )
+            for r in range(2):
+                crawl_round(spark, wstate, pages, robots, r, cfg, md)
+            shutil.rmtree(wroot, ignore_errors=True)
+
         # run preceding rounds through the real loop so the profiled round
         # sees genuine state (bucketed seen table, deferred backlog)
         for r in range(profile_round):
