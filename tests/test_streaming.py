@@ -94,3 +94,71 @@ def test_streaming_frontier_dedup(spark, tmp_path_factory):
         "http://h.test/b?x=1&y=2",
         "http://h.test/c",
     ]
+
+
+def test_streaming_politeness_admit_stateful_budget(spark, tmp_path_factory):
+    """applyInPandasWithState admission: per-host LIFETIME budget holds
+    across micro-batches (state persists), order is priority DESC/url ASC,
+    and a second batch can only spend what the first left."""
+    import os
+
+    src = str(tmp_path_factory.mktemp("admit_src"))
+    ckpt = str(tmp_path_factory.mktemp("admit_ckpt"))
+
+    from warcit_spark.streaming.ingest import streaming_politeness_admit
+
+    schema = "host string, url string, priority double"
+    batch1 = [
+        ("a.test", "http://a.test/1", 1.0),
+        ("a.test", "http://a.test/2", 3.0),
+        ("a.test", "http://a.test/3", 2.0),
+        ("b.test", "http://b.test/1", 1.0),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "b1"))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    admitted = streaming_politeness_admit(stream, host_budget=2)
+    q = (
+        admitted.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("admit_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r.host, r.url): r.admit_seq
+            for r in spark.sql("SELECT * FROM admit_test").collect()
+        }
+        # host a: top-2 by priority desc -> urls 2 (3.0) then 3 (2.0)
+        assert got1 == {
+            ("a.test", "http://a.test/2"): 1,
+            ("a.test", "http://a.test/3"): 2,
+            ("b.test", "http://b.test/1"): 1,
+        }
+
+        # batch 2: host a is exhausted (budget 2 spent); host b admits one
+        batch2 = [
+            ("a.test", "http://a.test/9", 9.0),
+            ("b.test", "http://b.test/2", 2.0),
+            ("b.test", "http://b.test/3", 1.0),
+        ]
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, "b2"))
+        q.processAllAvailable()
+        got2 = {
+            (r.host, r.url): r.admit_seq
+            for r in spark.sql("SELECT * FROM admit_test").collect()
+        }
+        assert ("a.test", "http://a.test/9") not in got2  # budget held in state
+        assert got2[("b.test", "http://b.test/2")] == 2  # cumulative seq
+        assert ("b.test", "http://b.test/3") not in got2
+        assert len(got2) == 4
+    finally:
+        q.stop()

@@ -88,3 +88,57 @@ def start_ingest(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def streaming_politeness_admit(
+    urls: DataFrame, host_budget: int = 50
+) -> DataFrame:
+    """Custom stateful streaming operator: per-host admission control via
+    ``applyInPandasWithState`` — the Structured-Streaming analog of the
+    batch politeness budget (plans/politeness.py).
+
+    Each host carries one state row (urls admitted so far); every
+    micro-batch admits that host's highest-priority URLs (priority DESC,
+    url ASC — the engine's total order) until the LIFETIME budget is
+    reached, emitting ``admit_seq`` (1-based cumulative rank).  Rows
+    beyond the budget are dropped from the stream — a live fetcher's
+    hard per-host cap; the batch loop's defer-to-next-round semantics
+    remain the crawl loop's job.
+
+    Scale shape: state is one counter per host (the state store shards by
+    the group key), each micro-batch shuffles only its own rows, and the
+    pandas function sees one host's batch at a time — a hot host costs
+    one Arrow batch per trigger, never a global sort.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def admit(key, pdfs, state):
+        (host,) = key
+        admitted = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(
+            ["priority", "url"], ascending=[False, True], kind="mergesort"
+        )
+        take = max(0, host_budget - admitted)
+        sel = rows.head(take)
+        if len(sel):
+            yield pd.DataFrame(
+                {
+                    "host": host,
+                    "url": sel["url"].tolist(),
+                    "priority": sel["priority"].tolist(),
+                    "admit_seq": list(
+                        range(admitted + 1, admitted + len(sel) + 1)
+                    ),
+                }
+            )
+        state.update((admitted + len(sel),))
+
+    return urls.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType="host string, url string, priority double, admit_seq int",
+        stateStructType="admitted int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
