@@ -89,6 +89,40 @@ def test_mapfile_overrides_url_date_type(spark, site):
     assert mapped[0].content_type == "application/x-map"
 
 
+def test_full_run_multipart_with_clean_mapfile(spark, site, tmp_path):
+    """Regression: the default multi-part path (repartitionByRange) runs a
+    range-sampling pass that executes the observed subtree twice, doubling
+    the additive matches metric while the bitmap distinct stays put.  A
+    CLEAN unique-suffix mapfile run must NOT raise — the metric mismatch
+    is a trigger for the exact dupes recheck, not proof of duplicates."""
+    mapfile = spark.createDataFrame(
+        [("sub/page.html", "http://mapped.test/p", "2011-02", "application/x-map")],
+        ["file", "URL", "timestamp", "Content-Type"],
+    )
+    out = str(tmp_path / "warc_multipart")
+    manifest = warcit_run(
+        spark, site, PREFIX, out, charset=None, num_parts=4, mapfile=mapfile
+    ).collect()
+    assert sum(r.n_records for r in manifest) == 10
+
+
+def test_full_run_multipart_dup_mapfile_still_fails(spark, site, tmp_path):
+    """The exact recheck still catches REAL duplicates on the multi-part
+    path: 'index.html' suffix-matches both index files -> job fails with a
+    non-empty duplicate listing (warcit.py:335-337)."""
+    from warcit_spark.operators.joins import MapfileUniquenessError
+
+    mapfile = spark.createDataFrame(
+        [("index.html", "http://mapped.test/i", "2011", "text/html")],
+        ["file", "URL", "timestamp", "Content-Type"],
+    )
+    out = str(tmp_path / "warc_dupmap")
+    with pytest.raises(MapfileUniquenessError, match="index.html"):
+        warcit_run(
+            spark, site, PREFIX, out, charset=None, num_parts=4, mapfile=mapfile
+        )
+
+
 def test_full_run_to_warc_file(spark, site, tmp_path):
     out = str(tmp_path / "warc_out")
     manifest = warcit_run(

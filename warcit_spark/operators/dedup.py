@@ -386,10 +386,15 @@ def ngram_dfcap_excluded(pairs: DataFrame) -> int | None:
     cap's recall loss is never silent.
 
     Fast path: the observation that rode the caller's action (zero extra
-    jobs).  Spark 4.1's AQE drops CollectMetrics rows under some re-planned
-    join shapes, so when the metrics row came back empty (or no action ran
-    yet) this falls back to a one-aggregation accounting job over the
-    shingle document frequencies.
+    jobs).  The observed sum is ADDITIVE under plan re-execution
+    (repartitionByRange's range-sampling pass, AQE stage retries re-run the
+    observed subtree and the metric re-accumulates), so only its
+    zero/nonzero reading is trustworthy: a zero is exact (a re-executed
+    sum of non-negatives can't read zero unless the true count is zero)
+    and short-circuits with no extra job; any nonzero reading triggers the
+    exact one-aggregation recount over the shingle document frequencies.
+    Spark 4.1's AQE can also drop the CollectMetrics row entirely under
+    some re-planned join shapes — that case recounts too.
     """
     obs = getattr(pairs, "_dfcap_observation", None)
     if obs is None:
@@ -398,9 +403,11 @@ def ngram_dfcap_excluded(pairs: DataFrame) -> int | None:
 
     if observation_ready(obs):
         try:
-            return observation_metrics(obs, "excluded_shingles")[
+            observed = observation_metrics(obs, "excluded_shingles")[
                 "excluded_shingles"
             ] or 0
+            if observed == 0:
+                return 0
         except RuntimeError:
             pass  # empty metrics row — AQE ate it; recompute below
     return pairs._dfcap_excluded_frame.count()

@@ -38,6 +38,14 @@ _STRICT_ATTR = "_mapfile_strict_check"
 # theta join + first-match aggregation instead.
 MAPFILE_LITERAL_MAX_ROWS = 10_000
 
+#: Sentinel strict-check payload meaning "uniqueness was already verified
+#: eagerly (broadcast-fallback / empty-mapfile paths) — nothing deferred".
+#: Lets pipeline callers distinguish "check handled" from "deferred payload
+#: silently lost" (a bare None): ``verify_mapfile_uniqueness`` treats it as
+#: a no-op, and ``warcit_run`` asserts the payload is non-None whenever a
+#: mapfile was supplied.
+STRICT_CHECKED = "mapfile-strict-already-checked"
+
 
 def mapfile_suffix_join(
     files: DataFrame,
@@ -83,12 +91,15 @@ def mapfile_suffix_join(
 
     if not rows:
         null_s = F.lit(None).cast("string")
-        return files.select(
+        out = files.select(
             "*",
             null_s.alias("map_url"),
             null_s.alias("map_timestamp"),
             null_s.alias("map_ct"),
         )
+        if strict:
+            setattr(out, _STRICT_ATTR, STRICT_CHECKED)  # vacuously unique
+        return out
 
     fname = F.col(filename_col)
 
@@ -96,7 +107,10 @@ def mapfile_suffix_join(
         out = _mapfile_broadcast_join(files, mapfile, cols, fname, filename_col)
         if strict:
             _eager_uniqueness_check(out)
-        return out.drop("_mf_idx", "_mf_file")
+        out = out.drop("_mf_idx", "_mf_file")
+        if strict:
+            setattr(out, _STRICT_ATTR, STRICT_CHECKED)
+        return out
     else:
         entries = F.array(
             *[
@@ -166,24 +180,31 @@ def verify_mapfile_uniqueness(check, run_action_if_needed: bool = True) -> None:
     file content is never read).  The duplicate listing in the error
     message comes from a diagnostic job that only runs on the failure path.
     """
-    if check is None:
+    if check is None or check is STRICT_CHECKED:
         return
     obs, observed = check
     if not observation_ready(obs) and run_action_if_needed:
         observed.select("_mf_idx").write.format("noop").mode("overwrite").save()
-    metrics = observation_metrics(obs, "matches", "distinct_rows")
+    try:
+        metrics = observation_metrics(obs, "matches", "distinct_rows")
+    except RuntimeError:
+        # metrics row came back empty (observed node referenced more than
+        # once in the executed plan, or an AQE merge dropped it — the case
+        # observe.py documents).  The WARC write already succeeded at this
+        # point, so don't surface an opaque error: recompute the check
+        # exactly with one filename-only job, mirroring the
+        # ngram_dfcap_excluded recovery path.
+        _eager_uniqueness_check(observed)
+        return
     if metrics["matches"] > (metrics["distinct_rows"] or 0):
-        dupes = (
-            observed.where(F.col("_mf_idx").isNotNull())
-            .groupBy("_mf_idx", "_mf_file")
-            .count()
-            .where(F.col("count") > 1)
-            .collect()
-        )
-        raise MapfileUniquenessError(
-            "mapfile rows matched multiple files: "
-            + ", ".join(f"{r['_mf_file']} (x{r['count']})" for r in dupes)
-        )
+        # The additive count('_mf_idx') re-accumulates every time the
+        # observed subtree executes (repartitionByRange's range-sampling
+        # pass, AQE stage retries) while the bitmap distinct merges
+        # idempotently — so a mismatch is only a TRIGGER for the exact
+        # recheck, never proof of duplicates.  _eager_uniqueness_check
+        # runs the same diagnostic query the old failure path ran and
+        # raises (with the duplicate listing) iff real dupes exist.
+        _eager_uniqueness_check(observed)
 
 
 def _eager_uniqueness_check(out: DataFrame) -> None:

@@ -41,6 +41,7 @@ from warcit_spark.operators.charset import detect_charsets_batch
 from warcit_spark.functions.mime import charset_suffix_expr
 from warcit_spark.operators.filters import apply_include_exclude
 from warcit_spark.operators.joins import (
+    STRICT_CHECKED,
     mapfile_suffix_join,
     strict_check_of,
     verify_mapfile_uniqueness,
@@ -169,7 +170,7 @@ def files_to_warc_records(
         strict_check = strict_check_of(files)
         if strict_mapfile == "eager" and strict_check is not None:
             verify_mapfile_uniqueness(strict_check)
-            strict_check = None
+            strict_check = STRICT_CHECKED
     else:
         files = (
             files.withColumn("map_url", F.lit(None).cast("string"))
@@ -467,6 +468,17 @@ def warcit_run(
         records = files_to_warc_records(
             spark, input_dir, url_prefix, strict_mapfile="deferred", **kwargs
         )
+        if kwargs.get("mapfile") is not None and strict_check_of(records) is None:
+            # The strict payload rides as a Python attribute (it does not
+            # survive DataFrame transformations); eager-checked paths set
+            # the STRICT_CHECKED sentinel, so a bare None here means the
+            # deferred check was silently lost — fail LOUD rather than
+            # skip the reference's uniqueness guarantee (warcit.py:335-337).
+            raise AssertionError(
+                "mapfile strict check payload missing on the records frame "
+                "built with strict_mapfile='deferred' — a pipeline edit "
+                "dropped the attribute; re-attach it on the FINAL frame"
+            )
     sort_cols = [
         F.col("_sort_uri").asc(), F.col("_class").asc(), F.col("_seq").asc()
     ]
