@@ -658,6 +658,35 @@ def cc1_dup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def cc2_minhash_clusters(spark, sf_dir):
+    """The COMPOSED near-dedup pipeline every training-data user runs, as
+    ONE job graph of engine operators end-to-end: MinHash+LSH candidate
+    pairs (operators/dedup.py:85) -> connected-component cluster labels
+    (operators/graph.py:135) -> keep-one-representative selection (keeper
+    = the cluster-minimum doc).  Singleton docs keep themselves.  The
+    oracle recomputes the pairs as exact n-gram Jaccard (the banded LSH
+    has total recall on this fixture at threshold 0.5 — the same
+    equivalence x1 relies on) and the closure with a recursive CTE.
+    Reference precedent for composed operators: conversions-inside-
+    transclusions, /root/reference/warcit/converter.py:240-277."""
+    from warcit_spark.operators.dedup import minhash_lsh_dedup
+    from warcit_spark.operators.graph import dup_clusters
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = minhash_lsh_dedup(d, jaccard_threshold=0.5)
+    clusters = dup_clusters(pairs)
+    return (
+        d.select("doc_id")
+        .join(clusters, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        )
+        .withColumn("keeper", F.col("doc_id") == F.col("cluster"))
+        .orderBy("doc_id")
+    )
+
+
 def t9_tfidf_topk(spark, sf_dir):
     """Per-document top-3 characteristic terms by tf·(N/df) — the
     inverted-index + window pattern (functions/text.tfidf_topk_terms).
@@ -841,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_pii_scrub": t7_pii_scrub,
         "t8_repetition": t8_repetition,
         "cc1_dup_clusters": cc1_dup_clusters,
+        "cc2_minhash_clusters": cc2_minhash_clusters,
         "t9_tfidf_topk": t9_tfidf_topk,
         "smp1_stratified_sample": smp1_stratified_sample,
         "x4_asof_join": x4_asof_join,
@@ -1139,6 +1169,47 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id, rank
     """
     d["smp1_stratified_sample"] = _smp1_oracle_sql()
+    d["cc2_minhash_clusters"] = f"""
+        WITH RECURSIVE
+        w AS (
+          SELECT doc_id, {_WORDS09_SQL} AS ws
+          FROM documents WHERE doc_id < 200),
+        s AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws)-2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS shingles
+          FROM w WHERE len(ws) > 0),
+        inv AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+        pr AS (
+          SELECT doc_id_a, doc_id_b FROM (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   count(*) AS inter
+            FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) p
+          JOIN (SELECT doc_id, len(shingles) AS n FROM s) sa
+            ON sa.doc_id = doc_id_a
+          JOIN (SELECT doc_id, len(shingles) AS n FROM s) sb
+            ON sb.doc_id = doc_id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+        sym AS (
+          SELECT doc_id_a AS a, doc_id_b AS b FROM pr
+          UNION
+          SELECT doc_id_b AS a, doc_id_a AS b FROM pr),
+        reach(a, b) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+        lab AS (
+          SELECT a AS doc_id, least(a, min(b)) AS cluster
+          FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               coalesce(lab.cluster, d.doc_id) AS cluster,
+               d.doc_id = coalesce(lab.cluster, d.doc_id) AS keeper
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+        LEFT JOIN lab USING (doc_id)
+        ORDER BY doc_id
+    """
     d["cc1_dup_clusters"] = """
         WITH RECURSIVE
         d AS (SELECT doc_id FROM documents WHERE doc_id < 300),

@@ -223,7 +223,31 @@ def main() -> None:
         "crawl_ccweight_urls_per_sec": crawl_cc["crawl_urls_per_sec"],
         "crawl_ccweight": crawl_cc,
     }
-    print(json.dumps(result))
+    # Full result (mins + raw samples + crawl sub-timings) goes to disk;
+    # stdout's FINAL line is a COMPACT summary.  The round driver captures
+    # only the tail of stdout, and the r4 full-size line got front-truncated
+    # there ("parsed": null in BENCH_r04.json) — keep the printed line small
+    # enough that truncation can never eat the opening brace.
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/result_latest.json", "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only cwd: the printed summary still carries the headline
+    compact = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {**queries, "crawl_loop": crawl["crawl_sec"]},
+        "query_reps": BENCH_REPS,
+        "sf": sf,
+        "cpus": cpus,
+        "crawl_urls_per_sec": crawl["crawl_urls_per_sec"],
+        "crawl_ccweight_urls_per_sec": crawl_cc["crawl_urls_per_sec"],
+        "full_result": "BENCH/result_latest.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -221,6 +221,21 @@ def test_xxhash64_py_matches_spark(spark):
         assert xxhash64_py(w.encode("utf-8")) == spark_hashes[w], w
 
 
+def test_kmeans_kdim_guard(spark):
+    """The driver-side coarse-quantizer loop is bounded: k*dim beyond
+    KMEANS_MAX_KDIM raises before any per-iteration collect runs."""
+    from warcit_spark.operators.similarity import (
+        KMEANS_MAX_KDIM,
+        kmeans_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="k\\*dim"):
+        kmeans_centroids(df, k=(KMEANS_MAX_KDIM // 4) + 1)
+
+
 def test_kmeans_centroids_matches_numpy_lloyds(spark):
     """Distributed deterministic Lloyd's == a numpy reference on the same
     init (k lowest-id vectors) for every iteration count."""

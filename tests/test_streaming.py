@@ -131,16 +131,17 @@ def test_streaming_politeness_admit_stateful_budget(spark, tmp_path_factory):
     )
     try:
         q.processAllAvailable()
-        got1 = {
-            (r.host, r.url): r.admit_seq
-            for r in spark.sql("SELECT * FROM admit_test").collect()
-        }
+        rows1 = spark.sql("SELECT * FROM admit_test").collect()
+        got1 = {(r.host, r.url): r.admit_seq for r in rows1 if r.url}
         # host a: top-2 by priority desc -> urls 2 (3.0) then 3 (2.0)
         assert got1 == {
             ("a.test", "http://a.test/2"): 1,
             ("a.test", "http://a.test/3"): 2,
             ("b.test", "http://b.test/1"): 1,
         }
+        # loss is observable on the admitted rows: host a dropped 1 of 3
+        drops1 = {r.host: r.dropped_total for r in rows1 if r.url}
+        assert drops1["a.test"] == 1 and drops1["b.test"] == 0
 
         # batch 2: host a is exhausted (budget 2 spent); host b admits one
         batch2 = [
@@ -152,13 +153,21 @@ def test_streaming_politeness_admit_stateful_budget(spark, tmp_path_factory):
             "overwrite"
         ).parquet(os.path.join(src, "b2"))
         q.processAllAvailable()
-        got2 = {
-            (r.host, r.url): r.admit_seq
-            for r in spark.sql("SELECT * FROM admit_test").collect()
-        }
+        rows2 = spark.sql("SELECT * FROM admit_test").collect()
+        got2 = {(r.host, r.url): r.admit_seq for r in rows2 if r.url}
         assert ("a.test", "http://a.test/9") not in got2  # budget held in state
         assert got2[("b.test", "http://b.test/2")] == 2  # cumulative seq
         assert ("b.test", "http://b.test/3") not in got2
         assert len(got2) == 4
+        # host a admitted NOTHING in batch 2 -> one accounting row (NULL
+        # url, admit_seq NULL) carrying the lifetime dropped count (1 + 1)
+        acct = [r for r in rows2 if r.url is None]
+        assert len(acct) == 1
+        assert acct[0].host == "a.test" and acct[0].admit_seq is None
+        assert acct[0].dropped_total == 2
+        # host b dropped its first row this batch: visible on admitted row
+        assert {
+            r.dropped_total for r in rows2 if r.url == "http://b.test/2"
+        } == {1}
     finally:
         q.stop()

@@ -111,9 +111,20 @@ def connected_components(
         # previous edge set).  NB a large-star-only probe is NOT enough:
         # {(v,a),(v,b)} with a,b < v is a large-star fixed point that is
         # not a star graph — the small-star pass is what collapses it.
+        # ONE action per iteration: both sides are distinct sets, so a
+        # signed-union aggregate (+1 for stepped, -1 for e, grouped by
+        # edge) has a nonzero sum exactly on the symmetric difference —
+        # one groupBy shuffle instead of two exceptAll jobs; at O(log² n)
+        # alternations over 10^10-edge graphs the probe-job overhead is
+        # what dominates the driver critical path.
         changed = (
-            stepped.exceptAll(e).limit(1).count()
-            + e.exceptAll(stepped).limit(1).count()
+            stepped.select("src", "dst", F.lit(1).alias("_d"))
+            .unionByName(e.select("src", "dst", F.lit(-1).alias("_d")))
+            .groupBy("src", "dst")
+            .agg(F.sum("_d").alias("_s"))
+            .where(F.col("_s") != 0)
+            .limit(1)
+            .count()
         )
         e = stepped
         if changed == 0:

@@ -186,6 +186,13 @@ def ivf_random_centroids(k: int, dim: int) -> list[list[float]]:
     ]
 
 
+#: Upper bound on k*dim for the driver-side Lloyd's loop — a coarse
+#: quantizer stays far below this (k<=256, dim<=1024 -> 262144); the cap
+#: keeps the per-iteration collect at ~4 MB of decimals and the codegen'd
+#: argmin expression tractable.
+KMEANS_MAX_KDIM = 262_144
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,
@@ -207,10 +214,32 @@ def kmeans_centroids(
     pure-Python twin :func:`kmeans_centroids_py` reproduces the centroids
     bit-for-bit (pinned by test), which is what lets a DuckDB oracle
     replay the quantizer.
+
+    Bounded by design: raises ``ValueError`` when ``k * dim >
+    KMEANS_MAX_KDIM`` — the driver loop is O(iters) round trips each
+    collecting k x dim decimal sums, and the codegen'd argmin folds k
+    comparisons per row, both sized for a COARSE quantizer.  For
+    fine-grained k (product quantization, large codebooks) keep the
+    centroids IN a DataFrame: broadcast-join the centroid table, assign
+    with a vectorized pandas_udf argmin, and take means with a plain
+    groupBy — same determinism recipe (DECIMAL sums), no driver loop.
     """
     dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
         raise ValueError("kmeans_centroids: empty embeddings input")
+    if k * int(dim_row["d"]) > KMEANS_MAX_KDIM:
+        # Each iteration collects k x dim DECIMAL partial sums and folds a
+        # k-way argmin expression per row; both are built for a COARSE
+        # quantizer (k <= 256 over typical embedding dims).  Beyond this
+        # bound the argmin expression bloats codegen and the driver loop's
+        # O(iters) round trips each move k*dim decimals — use a
+        # DataFrame-resident assignment (centroids as a broadcast table,
+        # assignment via a pandas_udf argmin, means via groupBy) instead.
+        raise ValueError(
+            f"kmeans_centroids: k*dim = {k * int(dim_row['d'])} exceeds "
+            f"{KMEANS_MAX_KDIM} — this driver-side coarse-quantizer loop is "
+            "bounded by design; see the docstring for the large-k shape"
+        )
     cents = [
         [float(x) for x in r[0]]
         for r in embeddings.orderBy(id_col).select(vec_col).limit(k).collect()

@@ -97,15 +97,23 @@ def streaming_politeness_admit(
     ``applyInPandasWithState`` — the Structured-Streaming analog of the
     batch politeness budget (plans/politeness.py).
 
-    Each host carries one state row (urls admitted so far); every
-    micro-batch admits that host's highest-priority URLs (priority DESC,
-    url ASC — the engine's total order) until the LIFETIME budget is
+    Each host carries one state row (urls admitted / dropped so far);
+    every micro-batch admits that host's highest-priority URLs (priority
+    DESC, url ASC — the engine's total order) until the LIFETIME budget is
     reached, emitting ``admit_seq`` (1-based cumulative rank).  Rows
     beyond the budget are dropped from the stream — a live fetcher's
     hard per-host cap; the batch loop's defer-to-next-round semantics
     remain the crawl loop's job.
 
-    Scale shape: state is one counter per host (the state store shards by
+    The loss is NEVER silent (the engine's convention — cf. the ngram
+    df-cap observation): every emitted row carries ``dropped_total`` (the
+    host's lifetime dropped count after this batch), and a micro-batch
+    that drops rows while admitting NONE (budget already exhausted) emits
+    one ACCOUNTING row — ``url``/``priority``/``admit_seq`` NULL,
+    ``dropped_total`` current — so downstream monitoring sees the loss
+    the moment it happens.  Fetchers filter ``admit_seq IS NOT NULL``.
+
+    Scale shape: state is two counters per host (the state store shards by
     the group key), each micro-batch shuffles only its own rows, and the
     pandas function sees one host's batch at a time — a hot host costs
     one Arrow batch per trigger, never a global sort.
@@ -115,13 +123,14 @@ def streaming_politeness_admit(
 
     def admit(key, pdfs, state):
         (host,) = key
-        admitted = state.get[0] if state.exists else 0
+        admitted, dropped = state.get if state.exists else (0, 0)
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(
             ["priority", "url"], ascending=[False, True], kind="mergesort"
         )
         take = max(0, host_budget - admitted)
         sel = rows.head(take)
+        dropped += len(rows) - len(sel)
         if len(sel):
             yield pd.DataFrame(
                 {
@@ -131,14 +140,30 @@ def streaming_politeness_admit(
                     "admit_seq": list(
                         range(admitted + 1, admitted + len(sel) + 1)
                     ),
+                    "dropped_total": [dropped] * len(sel),
                 }
             )
-        state.update((admitted + len(sel),))
+        elif len(rows):
+            # budget exhausted and rows arrived: surface the loss with one
+            # accounting row instead of vanishing the batch
+            yield pd.DataFrame(
+                {
+                    "host": [host],
+                    "url": [None],
+                    "priority": [None],
+                    "admit_seq": [None],
+                    "dropped_total": [dropped],
+                }
+            )
+        state.update((admitted + len(sel), dropped))
 
     return urls.groupBy("host").applyInPandasWithState(
         admit,
-        outputStructType="host string, url string, priority double, admit_seq int",
-        stateStructType="admitted int",
+        outputStructType=(
+            "host string, url string, priority double, admit_seq int, "
+            "dropped_total long"
+        ),
+        stateStructType="admitted int, dropped long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
