@@ -353,16 +353,76 @@ def ivf_topk(
     assigned = embeddings.withColumn(
         "_ivf", _nearest_centroid_expr(vec, centroids)
     )
-    # query's probe list computed driver-side (k x dim floats, no job)
-    q2 = [
-        sum(x * x for x in c) - 2.0 * sum(v * x for v, x in zip(query_vec, c))
-        for c in centroids
-    ]
-    probe = sorted(range(len(centroids)), key=lambda i: (q2[i], i))[:nprobe]
+    probe = _probe_cells(query_vec, centroids, nprobe)
     q = _query_lit(query_vec)
     sim = cosine_expr(vec, q)
     return (
         assigned.where(F.col("_ivf").isin(*probe))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` centroid ids nearest the query, driver-side (k x dim
+    floats, no job); ties break on the lower cell id."""
+    q2 = [
+        sum(x * x for x in c) - 2.0 * sum(v * x for v, x in zip(query_vec, c))
+        for c in centroids
+    ]
+    return sorted(range(len(centroids)), key=lambda i: (q2[i], i))[:nprobe]
+
+
+def ivf_ingest(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist embeddings PARTITIONED BY their assigned centroid — the
+    at-ingest IVF shape for the 100-TB table: assignment is computed once
+    here (in-row argmin, no shuffle beyond the write), and every probe
+    query afterwards prunes to ``nprobe`` partition directories instead
+    of scanning the corpus (:func:`ivf_topk_bucketed` asserts that plan).
+    ``ivf_cell`` becomes the Hive partition column of the parquet table;
+    on Iceberg the same layout is ``PARTITIONED BY (ivf_cell)``.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    (
+        embeddings.withColumn("ivf_cell", _nearest_centroid_expr(vec, centroids))
+        .write.partitionBy("ivf_cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_topk_bucketed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over an :func:`ivf_ingest` table: the probe-cell filter
+    lands on the PARTITION column, so the scan reads ``nprobe`` of
+    ``len(centroids)`` directories (PartitionFilters — directory-level
+    pruning, not a row filter) and never touches the rest of the corpus.
+    Same result set as :func:`ivf_topk` with the same centroids/nprobe;
+    ``nprobe == len(centroids)`` degrades gracefully to exact brute force.
+    """
+    probe = _probe_cells(query_vec, centroids, nprobe)
+    df = spark.read.parquet(path)
+    q = _query_lit(query_vec)
+    sim = cosine_expr(F.col(vec_col).cast("array<double>"), q)
+    return (
+        df.where(F.col("ivf_cell").isin(*probe))
         .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)

@@ -380,45 +380,64 @@ def crawl_round(
         pre, ranked, candidates, new_urls, round_id, cfg.n_lineage_partitions
     )
 
-    # ---- one action computes the whole round ------------------------------
-    # Collecting the (<= P-row) lineage frame materializes every persisted
-    # intermediate exactly once; the delta writes below reuse the caches.
-    # This keeps the round at one driver action + four writes instead of a
-    # count() per metric.
-    lin_rows = lineage.collect()
-
-    def _sum(col: str) -> int:
-        return int(sum(r[col] for r in lin_rows))
-
-    n_links, n_new = _sum("links_found"), _sum("new_urls")
-    summary = {
-        "urls_in": _sum("urls_in"),
-        "robots_denied": _sum("robots_denied"),
-        "urls_emitted": _sum("urls_emitted"),
-        "links_found": n_links,
-        "new_urls": n_new,
-        "dupes_dropped": n_links - n_new,
-        "frontier_next": _sum("deferred") + n_new,
-    }
-
-    # ---- writes (deltas first, marker last = atomic commit) ----------------
-    # the four delta writes are independent jobs over already-cached
-    # frames; concurrent driver threads overlap their scheduling + IO
-    # (a serial floor that otherwise does not shrink with executors)
-    lineage_out = spark.createDataFrame(lin_rows, lineage.schema).withColumn(
-        "dupes_dropped", F.lit(n_links - n_new).cast("long")
-    )
+    # ---- writes + lineage action, OVERLAPPED (deltas first, marker last) ---
+    # Phase 1: the lineage collect runs CONCURRENTLY with the seen and
+    # fetched delta writes — three driver jobs whose heavy subtrees
+    # (fetch join, link extraction, dedup anti-joins) overlap instead of
+    # stacking the lineage action in front of the write IO (the r4 2->8
+    # scaling diagnosis: small rounds are stage-latency-bound at higher
+    # parallelism; the BlockManager's per-block compute lock shares the
+    # persisted intermediates across the racing jobs).
+    #
+    # The FRONTIER write deliberately waits for the lineage action: it is
+    # the only other consumer of new_urls, whose plan contains the
+    # bucketed-seen CATALOG TABLE scan, and two concurrent jobs racing to
+    # first-evaluate that cached subtree were observed to intermittently
+    # evaluate it EMPTY (an AQE/cache interaction; sequential evaluation
+    # in either order is always correct).  After lin_future.result() the
+    # new_urls cache is materialized, so the phase-2 frontier write is a
+    # pure cache read — still overlapped with the lineage delta write and
+    # any seen/fetched IO tail.  The bucketed-seen catalog refresh is
+    # ALSO deferred below the barrier: refreshTable invalidates every
+    # cached plan referencing the table, which would yank new_urls' cache
+    # out from under the in-flight jobs (state.py:_write_seen_bucketed).
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as pool:
+        lin_future = pool.submit(lineage.collect)
         futures = [
-            pool.submit(state.write_delta, seen_delta, "seen", round_id),
+            pool.submit(
+                state.write_delta, seen_delta, "seen", round_id, refresh=False
+            ),
             pool.submit(state.write_delta, records, "fetched", round_id),
-            pool.submit(state.write_delta, next_frontier, "frontier", round_id + 1),
+        ]
+        lin_rows = lin_future.result()
+
+        def _sum(col: str) -> int:
+            return int(sum(r[col] for r in lin_rows))
+
+        n_links, n_new = _sum("links_found"), _sum("new_urls")
+        summary = {
+            "urls_in": _sum("urls_in"),
+            "robots_denied": _sum("robots_denied"),
+            "urls_emitted": _sum("urls_emitted"),
+            "links_found": n_links,
+            "new_urls": n_new,
+            "dupes_dropped": n_links - n_new,
+            "frontier_next": _sum("deferred") + n_new,
+        }
+        lineage_out = spark.createDataFrame(lin_rows, lineage.schema).withColumn(
+            "dupes_dropped", F.lit(n_links - n_new).cast("long")
+        )
+        futures += [
+            pool.submit(
+                state.write_delta, next_frontier, "frontier", round_id + 1
+            ),
             pool.submit(state.write_delta, lineage_out, "lineage", round_id),
         ]
         for f in futures:
             f.result()  # re-raise any write failure before committing
+    state.refresh_seen(spark)  # publish the deferred bucketed-seen append
     state.commit_round(round_id, summary)
 
     for df in (frontier, pre, ranked, fetched, candidates, new_urls):

@@ -108,13 +108,26 @@ class CrawlState:
             )
         return name
 
-    def _write_seen_bucketed(self, df: DataFrame, round_id: int) -> None:
+    def _write_seen_bucketed(
+        self, df: DataFrame, round_id: int, refresh: bool = True
+    ) -> None:
         """Append one round's seen delta, bucketed by url.
 
         Append-only + duplicate-tolerant: the anti-join treats seen as a
         set, and reads filter ``round_seen <= committed``, so a crashed
         (uncommitted) append needs no cleanup — re-running the round just
         appends the same rows again, invisibly.
+
+        ``refresh=False`` defers the catalog refresh to
+        :meth:`refresh_seen` — REQUIRED when other jobs whose plans
+        reference the seen table run concurrently with this append:
+        ``refreshTable`` invalidates every cached plan containing the
+        table (Spark's recacheByPlan), and an in-flight job whose
+        InMemoryTableScan gets invalidated under it can silently lose the
+        cached subtree's rows (observed: new_urls evaluating empty in the
+        overlapped round writes).  With the refresh deferred, every
+        in-round job keeps the ROUND-START table snapshot — which is also
+        the correct read semantics for the round.
         """
         spark = df.sparkSession
         name = self._ensure_seen_table(spark)
@@ -131,18 +144,30 @@ class CrawlState:
             .mode("append")
             .saveAsTable(name)
         )
-        spark.catalog.refreshTable(name)
+        if refresh:
+            spark.catalog.refreshTable(name)
 
-    def write_delta(self, df: DataFrame, table: str, round_id: int) -> None:
+    def refresh_seen(self, spark: SparkSession) -> None:
+        """Publish a deferred bucketed-seen append to this session's
+        catalog (no-op for the unbucketed layout)."""
+        if self.seen_buckets > 0 and spark.catalog.tableExists(
+            self._seen_table_name()
+        ):
+            spark.catalog.refreshTable(self._seen_table_name())
+
+    def write_delta(
+        self, df: DataFrame, table: str, round_id: int, refresh: bool = True
+    ) -> None:
         """Write one round's delta for a table.  ``overwrite`` keeps replay
         idempotent: a crashed, uncommitted round is silently rewritten.
 
         The ``round`` column, if present, is carried by the partition
         directory name (``round=<k>``) and re-inferred at read time, so it
-        is stripped from the physical files.
+        is stripped from the physical files.  ``refresh`` is forwarded to
+        the bucketed-seen append (see :meth:`_write_seen_bucketed`).
         """
         if table == "seen" and self.seen_buckets > 0:
-            self._write_seen_bucketed(df, round_id)
+            self._write_seen_bucketed(df, round_id, refresh=refresh)
             return
         if "round" in df.columns:
             df = df.drop("round")
