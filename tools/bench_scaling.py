@@ -191,16 +191,27 @@ def main():
     # light-page pairs keep the synthetic-minimal corpus for continuity
     # with rounds 1-2; their pages are ~300 B, which over-weights
     # coordination latency relative to any real crawl.
+    all_pairs = [
+        ("1to4_ccweight", 1, 4, 400_000, 200_000, 40_000, 256, 3, 3, 8, 20, "12g"),
+        ("2to8_ccweight", 2, 8, 800_000, 400_000, 40_000, 256, 3, 2, 8, 20, "24g"),
+        # widest pair at the design-point weight; box pure-CPU pairwise
+        # ceiling at 8->32 is 0.65 (32 threads share 32 cores with the
+        # driver + GC), so this documents throughput AGAINST that ceiling
+        # rather than chasing the 0.8 target the hardware cannot show
+        ("8to32_ccweight", 8, 32, 800_000, 400_000, 40_000, 256, 3, 2, 8, 20, "24g"),
+        ("1to4", 1, 4, 2_000_000, 1_000_000, 40_000, 512, 4, 2, 0, 0, "24g"),
+        ("2to8", 2, 8, 4_000_000, 1_000_000, 40_000, 512, 5, 2, 0, 0, "24g"),
+        ("8to32", 8, 32, 16_000_000, 4_000_000, 40_000, 512, 5, 2, 0, 0, "24g"),
+    ]
+    sel = None
+    if "--pairs" in sys.argv:
+        sel = set(sys.argv[sys.argv.index("--pairs") + 1].split(","))
     if quick:
-        pairs = [("1to4_ccweight", 1, 4, 400_000, 200_000, 40_000, 256, 3, 3, 8, 20, "12g")]
+        pairs = [p for p in all_pairs if p[0] == "1to4_ccweight"]
+    elif sel:
+        pairs = [p for p in all_pairs if p[0] in sel]
     else:
-        pairs = [
-            ("1to4_ccweight", 1, 4, 400_000, 200_000, 40_000, 256, 3, 3, 8, 20, "12g"),
-            ("2to8_ccweight", 2, 8, 800_000, 400_000, 40_000, 256, 3, 2, 8, 20, "24g"),
-            ("1to4", 1, 4, 2_000_000, 1_000_000, 40_000, 512, 4, 2, 0, 0, "24g"),
-            ("2to8", 2, 8, 4_000_000, 1_000_000, 40_000, 512, 5, 2, 0, 0, "24g"),
-            ("8to32", 8, 32, 16_000_000, 4_000_000, 40_000, 512, 5, 2, 0, 0, "24g"),
-        ]
+        pairs = all_pairs
     out = {
         "protocol": "v3: CC-weight primary corpus (body_kb/extra_links); pairwise per-round ratios on identical inputs; "
                     "steady = rounds >= 2; interleaved repeats, min-of-"
