@@ -687,6 +687,39 @@ def cc2_minhash_clusters(spark, sf_dir):
     )
 
 
+def pp1_preprocess_pipeline(spark, sf_dir):
+    """The composed corpus-preprocessing pipeline, ONE job graph of engine
+    operators end-to-end: quality + language + length gate
+    (functions/text.py) -> exact dedup keeping the lowest-id
+    representative (operators/dedup.py:32) -> deterministic 50% sample
+    (operators/sampling.py) — the nightly filter-dedup-sample run of a
+    training-data pipeline.  Every stage is an individually oracle-gated
+    operator (t1/t2/t3/t4/smp1); this query gates the COMPOSITION.  The
+    whole pipeline is two shuffles at scale: the dedup groupBy (the gates
+    and the md5 sample are scan-pushable row-local predicates) and the
+    final order."""
+    from warcit_spark.functions.text import (
+        lang_id_expr,
+        quality_score_expr,
+        token_count_expr,
+    )
+    from warcit_spark.operators.dedup import exact_dedup
+    from warcit_spark.operators.sampling import sample_predicate
+
+    d = _t(spark, sf_dir, "documents")
+    gated = d.where(
+        (quality_score_expr(F.col("text")) >= 0.1)
+        & (lang_id_expr(F.col("text")) == "en")
+        & (token_count_expr(F.col("text")) >= 5)
+    )
+    deduped = exact_dedup(gated)
+    return (
+        deduped.where(sample_predicate(F.col("doc_id"), 0.5))
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id")
+    )
+
+
 def t9_tfidf_topk(spark, sf_dir):
     """Per-document top-3 characteristic terms by tf·(N/df) — the
     inverted-index + window pattern (functions/text.tfidf_topk_terms).
@@ -871,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_repetition": t8_repetition,
         "cc1_dup_clusters": cc1_dup_clusters,
         "cc2_minhash_clusters": cc2_minhash_clusters,
+        "pp1_preprocess_pipeline": pp1_preprocess_pipeline,
         "t9_tfidf_topk": t9_tfidf_topk,
         "smp1_stratified_sample": smp1_stratified_sample,
         "x4_asof_join": x4_asof_join,
@@ -1169,6 +1203,42 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id, rank
     """
     d["smp1_stratified_sample"] = _smp1_oracle_sql()
+    d["pp1_preprocess_pipeline"] = f"""
+        WITH b AS (
+          SELECT doc_id, text,
+                 {_WORDS_SQL} AS words,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+                 len(text) AS nch,
+                 len(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS nch_nopunct
+          FROM documents),
+        r AS (
+          SELECT doc_id, text, ntok,
+                 CASE WHEN len(words) > 0
+                      THEN CAST(len(list_filter(words, w -> list_contains({_EN_STOPWORDS_SQL}, w))) AS DOUBLE) / len(words)
+                      ELSE 0.0 END AS sw_ratio,
+                 CASE WHEN nch > 0
+                      THEN CAST(nch - nch_nopunct AS DOUBLE) / nch
+                      ELSE 0.0 END AS p_ratio
+          FROM b),
+        gated AS (
+          SELECT doc_id, text FROM r
+          WHERE round(least(1.0, CAST(ntok AS DOUBLE)/100.0)
+                      * least(1.0, 4.0*sw_ratio)
+                      * (1.0 - p_ratio), 6) >= 0.1
+            AND sw_ratio >= 0.08
+            AND ntok >= 5),
+        deduped AS (
+          SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+          FROM (SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+                FROM gated)
+          GROUP BY fp)
+        SELECT doc_id, dup_count
+        FROM deduped
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '80000000000000000000000000000000'
+        ORDER BY doc_id
+    """
     d["cc2_minhash_clusters"] = f"""
         WITH RECURSIVE
         w AS (
