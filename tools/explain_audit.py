@@ -31,6 +31,12 @@ AUDIT = [
     "x5_range_join",
     "q5_local_supplier",
     "w4_running_total",
+    "cc1_dup_clusters",
+    "cc2_minhash_clusters",
+    "pp1_preprocess_pipeline",
+    "t9_tfidf_topk",
+    "smp1_stratified_sample",
+    "x7_ivf_kmeans",
 ]
 
 SMELLS = [
