@@ -50,9 +50,9 @@ def main():
     phase: dict[str, float] = {}
     orig_write = state.write_delta
 
-    def timed_write(df, table, round_id):
+    def timed_write(df, table, round_id, **kw):
         t0 = time.perf_counter()
-        orig_write(df, table, round_id)
+        orig_write(df, table, round_id, **kw)
         phase[f"w_{table}"] = phase.get(f"w_{table}", 0.0) + (
             time.perf_counter() - t0)
 

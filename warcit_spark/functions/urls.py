@@ -58,13 +58,40 @@ def _sorted_query_expr(query: Column) -> Column:
     return F.array_join(F.array_sort(F.split(query, "&")), "&")
 
 
-def canonicalize_url_expr(url: Column) -> Column:
-    """North-star canonical form as a pure Catalyst expression.
+# Already-canonical fast path: one anchored regex proving canonicalize(u)==u
+# so the full parse/rebuild chain short-circuits (most crawl-discovered
+# links are already canonical).  The proof obligations, each enforced by the
+# charset: lowercase http/https scheme; host is lowercase reg-name chars
+# only (no userinfo '@', no port ':', no '%', no uppercase -> authority
+# already canonical); a nonempty '/'-rooted path (empty path would gain a
+# '/'); no '?' or '#' (no query to sort, no fragment to strip); no spaces
+# or whitespace (charsets exclude them, anchors cover the ends); path chars
+# restricted to RFC 3986 pchar/'/' minus '%' (all unconditionally legal to
+# java.net.URI, so the slow path's validity gate would pass — '%' is
+# excluded because a malformed escape flips URI to reject).  Anything not
+# provably canonical falls through to the exact slow path.
+_FAST_CANON_RE = r"^https?://[a-z0-9._\-]+/[-a-zA-Z0-9._~!$&'()*+,;=:@/]*$"
+# host of a fast-path URL: first-match (a path may itself contain '://')
+_FAST_HOST_RE = r"^https?://([^/]+)"
 
-    lowercase scheme+host, drop fragment, drop default port, sort query
-    params, empty path -> '/'.  Malformed URLs (no '://') pass through with
-    only fragment-stripping and whitespace trim, so the pipeline never drops
-    rows here (filtering is a separate, explicit operator).
+# scheme grammar per RFC 3986 == java.net.URI's: ALPHA *(ALPHA/DIGIT/+/-/.)
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+# after 'scheme://', authority runs to the first '/', '?' or '#' (same
+# delimiter set java.net.URI uses); the next group is the raw path
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+
+
+def _canonical_parts(url: Column) -> dict[str, Column]:
+    """Shared pieces of the canonical form.
+
+    ONE ``try_parse_url`` call total (java.net.URI constructs + validates
+    the whole string per call — at ~5M links/round the four-call version
+    was ~65% of the link-extraction phase wall).  The AUTHORITY call is
+    kept as the validity gate because URI validates the *entire* string
+    (illegal chars anywhere -> null -> passthrough), which a regex cannot
+    faithfully reproduce; scheme/path/query fall out of anchored regexes
+    on the ~60-char URL that agree with URI's grammar whenever the gate
+    passes (delimiter sets are identical, no decoding on raw parts).
     """
     u = F.trim(url)
     # fragment always goes first (cheap, and parse_url REF is never wanted)
@@ -73,8 +100,15 @@ def canonicalize_url_expr(url: Column) -> Column:
     # matching the reference's encode table, warcit/base.py:107-108)
     u = F.replace(u, F.lit(" "), F.lit("%20"))
 
-    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
-    authority = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    auth_raw = F.try_parse_url(u, F.lit("AUTHORITY"))
+    authority = F.lower(auth_raw)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    # valid <=> URI parses the whole string with an authority present AND
+    # the string is scheme-qualified.  Given both, URI's PROTOCOL equals
+    # the regex group (first ':' precedes any '/'), so this is the same
+    # predicate as the old PROTOCOL-nonnull & AUTHORITY-nonnull gate.
+    valid = auth_raw.isNotNull() & (scheme != "")
+
     # split host[:port] on a trailing ':<digits>' only — a first-':' split
     # mangles IPv6 bracket hosts ('[::1]:8080') and userinfo
     # ('user:pass@host'); '[::1]' ends in ']' so the port regex never
@@ -92,17 +126,69 @@ def canonicalize_url_expr(url: Column) -> Column:
         F.concat(F.lit(":"), port),
     ).otherwise(F.lit(""))
 
-    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.regexp_extract(u, _PATH_RE, 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
 
-    query = F.try_parse_url(u, F.lit("QUERY"))
+    # raw query = everything after the first '?' (fragment already gone);
+    # regexp_extract yields '' both for 'no ?' and for a trailing '?',
+    # and both cases rendered '' under the old nonnull-&-nonempty test
+    query = F.regexp_extract(u, r"\?(.*)", 1)
     query_part = F.when(
-        query.isNotNull() & (query != ""),
+        query != "",
         F.concat(F.lit("?"), _sorted_query_expr(query)),
     ).otherwise(F.lit(""))
 
     canonical = F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
-    return F.when(scheme.isNotNull() & host.isNotNull(), canonical).otherwise(u)
+    return {"u": u, "valid": valid, "host": host, "canonical": canonical}
+
+
+def canonicalize_url_expr(url: Column) -> Column:
+    """North-star canonical form as a pure Catalyst expression.
+
+    lowercase scheme+host, drop fragment, drop default port, sort query
+    params, empty path -> '/'.  Malformed URLs (no '://') pass through with
+    only fragment-stripping and whitespace trim, so the pipeline never drops
+    rows here (filtering is a separate, explicit operator).
+    """
+    p = _canonical_parts(url)
+    return F.when(url.rlike(_FAST_CANON_RE), url).otherwise(
+        F.when(p["valid"], p["canonical"]).otherwise(p["u"])
+    )
+
+
+def canonicalize_with_host_expr(url: Column) -> Column:
+    """``struct<url:string, host:string>`` — canonical URL plus politeness
+    host in ONE projection (the crawl hot path runs this per candidate
+    link; a separate ``host_expr(canonical)`` re-parses the URL it just
+    built).
+
+    Valid branch: host = canonical authority minus userinfo ('@' is unique
+    in a URI-validated authority) minus the trailing port — identical to
+    ``lower(parse_url(HOST))`` for every URL whose host java.net.URI
+    accepts; URLs URI would *reject as hosts* but accept as authorities
+    (e.g. underscores: 'http://a_b.test/') keep their authority-derived
+    host here instead of going NULL, which is the behavior a frontier
+    wants (such links are crawlable and need a politeness key).
+    Invalid branch: passthrough URL + ``host_expr`` semantics (NULL unless
+    java.net.URI finds a host), so non-URLs still filter out downstream.
+    """
+    p = _canonical_parts(url)
+    fused_host = F.substring_index(p["host"], "@", -1)
+    fused_host = F.when(fused_host == "", F.lit(None)).otherwise(fused_host)
+    return F.when(
+        url.rlike(_FAST_CANON_RE),
+        F.struct(
+            url.alias("url"),
+            F.regexp_extract(url, _FAST_HOST_RE, 1).alias("host"),
+        ),
+    ).otherwise(
+        F.when(
+            p["valid"],
+            F.struct(p["canonical"].alias("url"), fused_host.alias("host")),
+        ).otherwise(
+            F.struct(p["u"].alias("url"), host_expr(p["u"]).alias("host"))
+        )
+    )
 
 
 def canonicalize_urls_pandas(urls: pd.Series) -> pd.Series:

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from warcit_spark.functions.mime import DEFAULT_MIME, mimetypes_table, url_extension_expr
 from warcit_spark.functions.timestamps import iso8601z_expr
-from warcit_spark.functions.urls import canonicalize_url_expr, host_expr
+from warcit_spark.functions.urls import canonicalize_with_host_expr
 from warcit_spark.operators.links import extract_links
 from warcit_spark.operators.robots import apply_robots
 from warcit_spark.plans.politeness import politeness_prerank, politeness_rank
@@ -75,18 +75,13 @@ def canonical_seed_frontier(seeds: DataFrame) -> DataFrame:
     """seeds(url, priority) -> frontier_0: canonicalize, collapse collisions
     keeping the max priority (deterministic agg)."""
     canon = seeds.select(
-        canonicalize_url_expr(F.col("url")).alias("url"),
+        canonicalize_with_host_expr(F.col("url")).alias("_cu"),
         F.col("priority").cast("double").alias("priority"),
-    )
+    ).select("_cu.url", "_cu.host", "priority")
     return (
-        canon.groupBy("url")
+        canon.groupBy("url", "host")  # host is a pure function of url
         .agg(F.max("priority").alias("priority"))
-        .select(
-            "url",
-            host_expr(F.col("url")).alias("host"),
-            "priority",
-            F.lit(0).alias("round_added"),
-        )
+        .select("url", "host", "priority", F.lit(0).alias("round_added"))
         .where(F.col("host").isNotNull())
     )
 
@@ -304,12 +299,15 @@ def crawl_round(
         | F.col("fetched") & ~F.col("url").rlike(r"\.[A-Za-z0-9]+$")
     )
     raw_links = extract_links(html_pages, carry=("priority",))
-    candidates = raw_links.select(
-        canonicalize_url_expr(F.col("link")).alias("url"),
-        (F.col("priority") * cfg.link_decay).alias("priority"),
-    )
+    # canonical url + politeness host in ONE projection: the fused struct
+    # shares the single try_parse_url validity parse between both columns
+    # (a separate host_expr(canonical) would re-parse the URL just built)
     candidates = (
-        candidates.withColumn("host", host_expr(F.col("url")))
+        raw_links.select(
+            canonicalize_with_host_expr(F.col("link")).alias("_cu"),
+            (F.col("priority") * cfg.link_decay).alias("priority"),
+        )
+        .select("_cu.url", "_cu.host", "priority")
         .where(F.col("host").isNotNull())
         .persist()
     )
