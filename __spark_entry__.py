@@ -720,6 +720,36 @@ def pp1_preprocess_pipeline(spark, sf_dir):
     )
 
 
+def cc3_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al., arXiv:2303.09540) end-to-end as engine
+    operators: the distributed deterministic k-means quantizer
+    (similarity.py:kmeans_centroids, bit-reproducible DECIMAL sums) bounds
+    the candidate set, then operators/semdedup.py finds within-cluster
+    cosine near-duplicates and greedily keeps the lowest id.  The DuckDB
+    oracle replays the SAME two Lloyd iterations in SQL (the x7 replay)
+    and spells the pair cosine as Spark's left-assoc folds, so cluster
+    assignment AND every threshold compare match bit-for-bit."""
+    from warcit_spark.operators.semdedup import semantic_dedup
+    from warcit_spark.operators.similarity import kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 256)
+    cents = kmeans_centroids(emb, k=4, iters=2)
+    return semantic_dedup(emb, cents, threshold=0.35).orderBy("vec_id")
+
+
+def t10_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py:decontaminate): flag
+    every training doc sharing any 3-word shingle with the held-out eval
+    slice (doc_id % 17 == 3).  Broadcast benchmark-shingle semi-join —
+    the train side never shuffles."""
+    from warcit_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    bench = d.where(F.col("doc_id") % 17 == 3)
+    train = d.where(F.col("doc_id") % 17 != 3)
+    return decontaminate(train, bench, n=3).orderBy("doc_id")
+
+
 def t9_tfidf_topk(spark, sf_dir):
     """Per-document top-3 characteristic terms by tf·(N/df) — the
     inverted-index + window pattern (functions/text.tfidf_topk_terms).
@@ -904,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_repetition": t8_repetition,
         "cc1_dup_clusters": cc1_dup_clusters,
         "cc2_minhash_clusters": cc2_minhash_clusters,
+        "cc3_semantic_dedup": cc3_semantic_dedup,
+        "t10_decontaminate": t10_decontaminate,
         "pp1_preprocess_pipeline": pp1_preprocess_pipeline,
         "t9_tfidf_topk": t9_tfidf_topk,
         "smp1_stratified_sample": smp1_stratified_sample,
@@ -1112,6 +1144,75 @@ def _x7_oracle_sql() -> str:
     )
 
 
+def _cc3_oracle_sql() -> str:
+    """DuckDB twin of cc3 (SemDeDup): replays the x7 k-means (two Lloyd
+    iterations, DECIMAL-exact sums — see _x7_oracle_sql for why that is
+    bit-reproducible), then spells the within-cluster pair cosine as the
+    SAME left-assoc folds Spark's cosine_expr evaluates
+    (dot/(sqrt(n2a)*sqrt(n2b))), rounded to 6 dp before the threshold
+    compare on both engines — so assignment, every pair test, and the
+    greedy lowest-id-wins drop rule match bit-for-bit."""
+    K, ITERS = 4, 2
+    DIM, CAP, THRESH = 64, 256, 0.35
+
+    def chain(terms):  # left-assoc: (0.0 + t1 + t2 + ...)
+        return "(0.0 + " + " + ".join(terms) + ")"
+
+    def score(c, v):  # c2(c) - 2.0 * dot(v, c), Spark's fold shape
+        c2 = chain([f"{c}[{d+1}]*{c}[{d+1}]" for d in range(DIM)])
+        dot = chain([f"{v}[{d+1}]*{c}[{d+1}]" for d in range(DIM)])
+        return f"({c2} - 2.0*{dot})"
+
+    def cos(a, b):  # Spark cosine_expr: dot / (sqrt(n2a) * sqrt(n2b))
+        dot = chain([f"{a}[{d+1}]*{b}[{d+1}]" for d in range(DIM)])
+        n2a = chain([f"{a}[{d+1}]*{a}[{d+1}]" for d in range(DIM)])
+        n2b = chain([f"{b}[{d+1}]*{b}[{d+1}]" for d in range(DIM)])
+        return f"({dot} / (sqrt({n2a}) * sqrt({n2b})))"
+
+    mean_list = ", ".join(
+        f"CAST(sum(CAST(v[{d+1}] AS DECIMAL(30,12))) AS DOUBLE)/count(*)"
+        for d in range(DIM)
+    )
+    ctes = [
+        f"b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < {CAP})",
+        f"c0 AS (SELECT vec_id AS cid, v AS c FROM b WHERE vec_id < {K})",
+    ]
+    prev = "c0"
+    for it in range(1, ITERS + 1):
+        ctes.append(
+            f"a{it} AS (SELECT e.vec_id, e.v, "
+            f"min(struct_pack(s := {score('c.c', 'e.v')}, i := c.cid)) AS m "
+            f"FROM b e CROSS JOIN {prev} c GROUP BY e.vec_id, e.v)"
+        )
+        ctes.append(
+            f"g{it} AS (SELECT (m).i AS cid, [{mean_list}] AS c "
+            f"FROM a{it} GROUP BY (m).i)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT {prev}.cid, coalesce(g{it}.c, {prev}.c) AS c "
+            f"FROM {prev} LEFT JOIN g{it} USING (cid))"
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"af AS (SELECT e.vec_id, e.v, "
+        f"min(struct_pack(s := {score('c.c', 'e.v')}, i := c.cid)) AS m "
+        f"FROM b e CROSS JOIN {prev} c GROUP BY e.vec_id, e.v)"
+    )
+    ctes.append(
+        "drp AS (SELECT DISTINCT y.vec_id FROM af x JOIN af y "
+        "ON (x.m).i = (y.m).i AND x.vec_id < y.vec_id "
+        f"WHERE round({cos('x.v', 'y.v')}, 6) >= {THRESH})"
+    )
+    return (
+        "WITH " + ",\n        ".join(ctes) + "\n"
+        "        SELECT a.vec_id,\n"
+        "               CAST((a.m).i AS INT) AS cluster,\n"
+        "               a.vec_id NOT IN (SELECT vec_id FROM drp) AS keep\n"
+        "        FROM af a\n"
+        "        ORDER BY a.vec_id"
+    )
+
+
 def _smp1_oracle_sql() -> str:
     """DuckDB twin of smp1: md5() hex digests are identical in every
     engine, so the per-host thresholds (exact ``floor(rate * 2^128)`` hex
@@ -1179,6 +1280,24 @@ def oracle_sql() -> dict[str, str]:
     d["x3_lsh_ann"] = _x3_oracle_sql()
     d["x6_ivf_ann"] = _x6_oracle_sql()
     d["x7_ivf_kmeans"] = _x7_oracle_sql()
+    d["cc3_semantic_dedup"] = _cc3_oracle_sql()
+    d["t10_decontaminate"] = f"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        w AS (SELECT doc_id, {_WORDS09_SQL} AS ws FROM d),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_filter(list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws)-2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' '))), s -> s <> '')) AS s
+          FROM w),
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 3),
+        hits AS (SELECT DISTINCT doc_id FROM sh
+                 WHERE doc_id % 17 <> 3 AND s IN (SELECT s FROM bench))
+        SELECT doc_id,
+               doc_id IN (SELECT doc_id FROM hits) AS contaminated
+        FROM d WHERE doc_id % 17 <> 3
+        ORDER BY doc_id
+    """
     d["t9_tfidf_topk"] = f"""
         WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
         terms AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM d),

@@ -194,12 +194,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries, queries_min, queries_samples = bench_queries(spark, sf_dir)
-    crawl = bench_crawl(spark)
+
+    # Crawl throughput: best-of-N full crawls (same estimator rationale as
+    # the queries' min-of-reps — single-shot crawl numbers swing +-40% on
+    # this box from page-cache/CPU-frequency interference, and r4->r5 read
+    # as a "regression" that was pure noise).  All repeats are recorded.
+    crawl_reps = int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "2"))
+
+    def best_crawl(**kw):
+        runs = [bench_crawl(spark, **kw) for _ in range(crawl_reps)]
+        best = max(runs, key=lambda r: r["crawl_urls_per_sec"])
+        best["crawl_urls_per_sec_samples"] = [
+            r["crawl_urls_per_sec"] for r in runs
+        ]
+        return best
+
+    crawl = best_crawl()
     # CC-weight corpus (~8 KiB html, ~25 links/page — the design-point
     # per-URL work; the light corpus above is kept for round-over-round
     # continuity).  Matches tools/bench_scaling.py pair "1to4_ccweight".
-    crawl_cc = bench_crawl(
-        spark, n_pages=400_000, n_hosts=256, n_seeds=200_000, n_rounds=3,
+    crawl_cc = best_crawl(
+        n_pages=400_000, n_hosts=256, n_seeds=200_000, n_rounds=3,
         body_kb=8, extra_links=20, warmup_rounds=1,
     )
 

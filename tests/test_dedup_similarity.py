@@ -408,3 +408,81 @@ def test_kmeans_centroids_py_twin_bit_for_bit(spark, sf_dir):
     rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
     want = kmeans_centroids_py(rows, k=4, iters=3)
     assert got == want  # float-identical, every component
+
+
+# ------------------------------------------------------------------ semdedup
+def test_semantic_dedup_greedy_lowest_id(spark):
+    """Hand-built 2-D corpus: two clusters, one near-dup pair in each;
+    keep = lowest id of each near-dup pair, all others kept."""
+    from warcit_spark.operators.semdedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),       # cluster around +x
+        (1, [0.999, 0.012]),   # near-dup of 0 -> dropped
+        (2, [0.6, 0.1]),       # same cluster, far -> kept
+        (3, [0.0, 1.0]),       # cluster around +y
+        (4, [0.011, 0.999]),   # near-dup of 3 -> dropped
+        (5, [0.1, 0.7]),       # same cluster, far -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in semantic_dedup(emb, cents, threshold=0.999).collect()
+    }
+    assert got == {
+        0: (0, True), 1: (0, False), 2: (0, True),
+        3: (1, True), 4: (1, False), 5: (1, True),
+    }
+
+
+def test_semantic_dedup_cross_cluster_dups_not_seen(spark):
+    """Identical vectors in DIFFERENT clusters are both kept — the
+    SemDeDup candidate set is within-cluster by design (recall traded for
+    the bounded quadratic term)."""
+    from warcit_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = {r.vec_id: r.keep for r in semantic_dedup(emb, cents, 0.5).collect()}
+    assert got == {0: True, 1: True}
+
+
+# ------------------------------------------------------------ decontaminate
+def test_decontaminate_flags_shared_shingle(spark):
+    from warcit_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id int, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "a quick brown fox appeared"),   # shares 'quick brown fox'
+            (2, "entirely different words here"),
+            (3, ""),                              # blank: never contaminated
+            (4, "the quick brown fox jumps"),     # verbatim copy
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(train, bench, n=3).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_decontaminate_blank_benchmark_never_matches(spark):
+    from warcit_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame([(9, "")], "doc_id int, text string")
+    train = spark.createDataFrame(
+        [(1, ""), (2, "some words")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(train, bench, n=3).collect()
+    }
+    assert got == {1: False, 2: False}

@@ -193,6 +193,11 @@ def main():
     # coordination latency relative to any real crawl.
     all_pairs = [
         ("1to4_ccweight", 1, 4, 400_000, 200_000, 40_000, 256, 3, 3, 8, 20, "12g"),
+        # design-point round sizes for the primary pair: 2x seeds makes the
+        # steady rounds ~2-3x larger, amortizing per-stage fixed latency the
+        # way a 10^10-frontier round (10^8+ urls) would; pairs with the
+        # round-size convergence table in BASELINE.md
+        ("1to4_ccweight_2xseeds", 1, 4, 400_000, 400_000, 40_000, 256, 3, 3, 8, 20, "12g"),
         ("2to8_ccweight", 2, 8, 800_000, 400_000, 40_000, 256, 3, 2, 8, 20, "24g"),
         # widest pair at the design-point weight; box pure-CPU pairwise
         # ceiling at 8->32 is 0.65 (32 threads share 32 cores with the

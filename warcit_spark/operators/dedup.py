@@ -411,3 +411,51 @@ def ngram_dfcap_excluded(pairs: DataFrame) -> int | None:
         except RuntimeError:
             pass  # empty metrics row — AQE ate it; recompute below
     return pairs._dfcap_excluded_frame.count()
+
+
+# ------------------------------------------------------------ decontamination
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(id, contaminated) — benchmark decontamination for training corpora:
+    a training document is contaminated iff it shares ANY n-word shingle
+    with any benchmark/eval document (the GPT-3 appendix-C / PaLM n-gram
+    overlap rule, applied train-side).  No reference analog (the reference
+    never inspects text, /root/reference/warcit/warcit.py); this is part
+    of the engine's training-data surface.
+
+    Scale shape: both sides explode to distinct shingles
+    (:func:`word_shingles_expr`, row-local, scan-pushable).  Eval sets are
+    tiny next to a 10^9-doc training corpus, so the benchmark shingle set
+    broadcasts into a LEFT SEMI join — the train side never shuffles, one
+    scan + hash probe per partition.  ``broadcast_benchmark=False`` flips
+    to a shuffled semi-join on the shingle for oversized eval sets (still
+    one O(|shingles|) exchange, never a pair blowup).  Empty-word shingles
+    are dropped on both sides so blank documents can never contaminate.
+    """
+    t_sh = train.select(
+        F.col(id_col),
+        F.explode(word_shingles_expr(F.col(text_col), n)).alias("_sh"),
+    ).where(F.col("_sh") != "")
+    b_sh = (
+        benchmark.select(
+            F.explode(word_shingles_expr(F.col(text_col), n)).alias("_sh")
+        )
+        .where(F.col("_sh") != "")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        b_sh = F.broadcast(b_sh)
+    hits = (
+        t_sh.join(b_sh, on="_sh", how="left_semi").select(id_col).distinct()
+    )
+    return train.select(id_col).join(
+        hits.withColumn("_hit", F.lit(True)), on=id_col, how="left"
+    ).select(
+        id_col, F.coalesce(F.col("_hit"), F.lit(False)).alias("contaminated")
+    )
