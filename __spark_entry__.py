@@ -750,6 +750,24 @@ def t10_decontaminate(spark, sf_dir):
     return decontaminate(train, bench, n=3).orderBy("doc_id")
 
 
+def t11_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style corpus-wide duplicated-line removal
+    (operators/dedup.py:line_dedup): every line whose trimmed form occurs
+    in >=2 distinct documents is dropped from ALL of them; survivors are
+    rejoined in original order.  The fixture's texts are single-line word
+    streams, so the query synthesizes line structure deterministically
+    with a literal replace(' the ' -> newline) — plain non-overlapping
+    left-to-right string replace, identical in Spark and DuckDB."""
+    from warcit_spark.operators.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    docs = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text"),
+    )
+    return line_dedup(docs, min_df=2).orderBy("doc_id")
+
+
 def t9_tfidf_topk(spark, sf_dir):
     """Per-document top-3 characteristic terms by tf·(N/df) — the
     inverted-index + window pattern (functions/text.tfidf_topk_terms).
@@ -936,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc2_minhash_clusters": cc2_minhash_clusters,
         "cc3_semantic_dedup": cc3_semantic_dedup,
         "t10_decontaminate": t10_decontaminate,
+        "t11_line_dedup": t11_line_dedup,
         "pp1_preprocess_pipeline": pp1_preprocess_pipeline,
         "t9_tfidf_topk": t9_tfidf_topk,
         "smp1_stratified_sample": smp1_stratified_sample,
@@ -1297,6 +1316,34 @@ def oracle_sql() -> dict[str, str]:
                doc_id IN (SELECT doc_id FROM hits) AS contaminated
         FROM d WHERE doc_id % 17 <> 3
         ORDER BY doc_id
+    """
+    d["t11_line_dedup"] = """
+        WITH d AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS text
+                   FROM documents WHERE doc_id < 500),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        l AS (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(ls)),
+                            i -> struct_pack(pos := i, line := ls[i]))) AS s
+              FROM ls),
+        nb AS (SELECT doc_id, (s).pos AS pos, (s).line AS line,
+                      trim((s).line) AS norm
+               FROM l WHERE trim((s).line) <> ''),
+        dup AS (SELECT norm FROM (SELECT norm, count(DISTINCT doc_id) AS c
+                                  FROM nb GROUP BY norm) WHERE c >= 2),
+        kept AS (SELECT doc_id, pos, line FROM nb
+                 WHERE norm NOT IN (SELECT norm FROM dup)),
+        agg AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                       count(*) AS lines_kept
+                FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n FROM nb GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(agg.text_clean, '') AS text_clean,
+               CAST(coalesce(agg.lines_kept, 0) AS INT) AS lines_kept,
+               CAST(coalesce(tot.n, 0) - coalesce(agg.lines_kept, 0) AS INT)
+                 AS lines_removed
+        FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN tot USING (doc_id)
+        ORDER BY d.doc_id
     """
     d["t9_tfidf_topk"] = f"""
         WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),

@@ -486,3 +486,46 @@ def test_decontaminate_blank_benchmark_never_matches(spark):
         for r in decontaminate(train, bench, n=3).collect()
     }
     assert got == {1: False, 2: False}
+
+
+# -------------------------------------------------------------- line dedup
+def test_line_dedup_removes_cross_doc_lines_preserves_order(spark):
+    from warcit_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro\nCOMMON FOOTER\nunique middle 1\n\n  COMMON FOOTER  "),
+            (2, "COMMON FOOTER\nunique middle 2"),
+            (3, "only unique text here"),
+            (4, "COMMON FOOTER"),          # fully wiped
+            (5, ""),                        # blank doc
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.lines_kept, r.lines_removed)
+        for r in line_dedup(docs, min_df=2).collect()
+    }
+    # trim-normalized "COMMON FOOTER" occurs in docs 1,2,4 -> dropped
+    # everywhere (both occurrences in doc 1); blank lines always dropped.
+    assert got[1] == ("intro\nunique middle 1", 2, 2)
+    assert got[2] == ("unique middle 2", 1, 1)
+    assert got[3] == ("only unique text here", 1, 0)
+    assert got[4] == ("", 0, 1)
+    assert got[5] == ("", 0, 0)
+
+
+def test_line_dedup_min_df_counts_distinct_docs(spark):
+    from warcit_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same line\nsame line\nother"), (2, "different")],
+        "doc_id int, text string",
+    )
+    # "same line" repeats WITHIN doc 1 only -> df=1 < 2 -> kept both times
+    got = {
+        r.doc_id: (r.text_clean, r.lines_kept, r.lines_removed)
+        for r in line_dedup(docs, min_df=2).collect()
+    }
+    assert got[1] == ("same line\nsame line\nother", 3, 0)
+    assert got[2] == ("different", 1, 0)

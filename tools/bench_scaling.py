@@ -198,6 +198,11 @@ def main():
         # way a 10^10-frontier round (10^8+ urls) would; pairs with the
         # round-size convergence table in BASELINE.md
         ("1to4_ccweight_2xseeds", 1, 4, 400_000, 400_000, 40_000, 256, 3, 3, 8, 20, "12g"),
+        # the 1to4 point on the round-size convergence curve: same corpus
+        # as 2to8_ccweight_2xseeds (round 0 ~360k urls), so the primary
+        # pair is measured at the largest round size the box can hold --
+        # the regime a production frontier (10^8+ urls/round) lives in
+        ("1to4_ccweight_biground", 1, 4, 800_000, 800_000, 40_000, 256, 3, 2, 8, 20, "24g"),
         ("2to8_ccweight", 2, 8, 800_000, 400_000, 40_000, 256, 3, 2, 8, 20, "24g"),
         # widest pair at the design-point weight; box pure-CPU pairwise
         # ceiling at 8->32 is 0.65 (32 threads share 32 cores with the

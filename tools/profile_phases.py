@@ -68,7 +68,7 @@ def main():
 
     spark = get_spark(
         "profile-phases", master=f"local[{cpus}]", shuffle_partitions=64,
-        extra_conf={"spark.driver.memory": "12g"},
+        extra_conf={"spark.driver.memory": os.environ.get("PP_HEAP", "12g")},
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages = (

@@ -459,3 +459,81 @@ def decontaminate(
     ).select(
         id_col, F.coalesce(F.col("_hit"), F.lit(False)).alias("contaminated")
     )
+
+
+# ------------------------------------------------------------- line dedup
+def line_dedup(
+    docs: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    broadcast_dups: bool = False,
+) -> DataFrame:
+    """(id, text_clean, lines_kept, lines_removed) — corpus-wide duplicated-
+    line removal, the C4 / RefinedWeb boilerplate rule: a line is dropped
+    from EVERY document when its normalized form (``trim``) occurs in at
+    least ``min_df`` distinct documents; blank lines are always dropped.
+    Surviving lines are re-joined by ``delim`` in original order.  No
+    reference analog (the reference never inspects text,
+    /root/reference/warcit/warcit.py) — engine training-data surface.
+
+    Scale shape: three shuffles, all O(|lines|) with map-side combine —
+    (1) the duplicated-line dim is ``dropDuplicates(line, id)`` (partial
+    agg absorbs within-doc repeats of a hot line before the exchange) then
+    ``count >= min_df``; (2) one join of lines against that dim (hot
+    boilerplate lines are exactly the dim's keys, so AQE skew-split
+    applies; ``broadcast_dups=True`` removes the shuffle when the dim is
+    known small); (3) one groupBy(id) rebuilding each document —
+    ``collect_list`` here is per-DOCUMENT (bounded by document size, the
+    same bound a parse already needs), never per-line-key, so no hot-key
+    neighborhood ever materializes in one task.
+    """
+    import re as _re
+
+    pat = _re.escape(delim)
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), pat, -1)).alias(
+                "_pos", "_line"
+            ),
+        )
+        .withColumn("_norm", F.trim(F.col("_line")))
+        .where(F.col("_norm") != "")
+    )
+    dup = (
+        lines.select("_norm", id_col)
+        .dropDuplicates(["_norm", id_col])
+        .groupBy("_norm")
+        .count()
+        .where(F.col("count") >= min_df)
+        .select("_norm", F.lit(True).alias("_dup"))
+    )
+    if broadcast_dups:
+        dup = F.broadcast(dup)
+    marked = lines.join(dup, on="_norm", how="left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_line", "_dup"))
+                    ),
+                    lambda s: s["_dup"].isNull(),
+                ),
+                lambda s: s["_line"],
+            ),
+            delim,
+        ).alias("_clean"),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("_removed"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return docs.select(id_col).join(per_doc, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("_clean"), F.lit("")).alias("text_clean"),
+        (F.coalesce(F.col("_n"), F.lit(0)) - F.coalesce(F.col("_removed"), F.lit(0)))
+        .cast("int")
+        .alias("lines_kept"),
+        F.coalesce(F.col("_removed"), F.lit(0)).cast("int").alias("lines_removed"),
+    )
