@@ -47,6 +47,36 @@ def resolve_link_expr(parent_url: Column, href: Column) -> Column:
     )
 
 
+def hrefs_expr(html_col: Column) -> Column:
+    """array<string> of raw (unresolved) hrefs in one JVM expression —
+    exposed so a caller can fuse extraction into a wider projection (the
+    crawl round computes digest + hrefs in ONE pass over the fetch join
+    and caches the ~1 KiB href array instead of the 8 KiB body; see
+    plans/crawl.py)."""
+    return F.regexp_extract_all(
+        F.decode(html_col, "UTF-8"), F.lit(HREF_PATTERN), 1
+    )
+
+
+def resolve_hrefs(
+    pages: DataFrame,
+    hrefs_col: str = "_hrefs",
+    url_col: str = "url",
+    carry: tuple[str, ...] = ("priority",),
+) -> DataFrame:
+    """(url, *carry, link) from a PRE-computed ``array<string>`` hrefs
+    column (see :func:`hrefs_expr`) — explode + resolve, pure JVM."""
+    exploded = pages.select(
+        F.col(url_col).alias("url"),
+        *[F.col(c) for c in carry],
+        F.explode(F.col(hrefs_col)).alias("_href"),
+    )
+    link = resolve_link_expr(F.col("url"), F.col("_href"))
+    return exploded.select(
+        "url", *carry, link.alias("link")
+    ).where(F.col("link").isNotNull())
+
+
 def extract_links(
     pages: DataFrame,
     html_col: str = "html",
@@ -54,15 +84,12 @@ def extract_links(
     carry: tuple[str, ...] = ("priority",),
 ) -> DataFrame:
     """(url, *carry, link) — one row per resolved outlink.  Pure JVM."""
-    html_str = F.decode(F.col(html_col), "UTF-8")
-    hrefs = F.regexp_extract_all(html_str, F.lit(HREF_PATTERN), 1)
-    exploded = pages.select(
-        F.col(url_col).alias("url"), *[F.col(c) for c in carry], F.explode(hrefs).alias("_href")
+    with_hrefs = pages.select(
+        F.col(url_col).alias("url"),
+        *[F.col(c) for c in carry],
+        hrefs_expr(F.col(html_col)).alias("_hrefs"),
     )
-    link = resolve_link_expr(F.col("url"), F.col("_href"))
-    return exploded.select(
-        "url", *carry, link.alias("link")
-    ).where(F.col("link").isNotNull())
+    return resolve_hrefs(with_hrefs, carry=carry)
 
 
 def _extract_hrefs_lxml(html_bytes: pd.Series) -> pd.Series:

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from warcit_spark.functions.mime import DEFAULT_MIME, mimetypes_table, url_extension_expr
 from warcit_spark.functions.timestamps import iso8601z_expr
 from warcit_spark.functions.urls import canonicalize_with_host_expr
-from warcit_spark.operators.links import extract_links
+from warcit_spark.operators.links import hrefs_expr, resolve_hrefs
 from warcit_spark.operators.robots import apply_robots
 from warcit_spark.plans.politeness import politeness_prerank, politeness_rank
 from warcit_spark.plans.state import CrawlState
@@ -102,7 +102,18 @@ def derive_fetch_records(
     - payload digest: sha1 over the payload (warcit.py:544 analog, A4).
     - D1: fetched urls (lowercased) ending in an index suffix emit an extra
       ``revisit`` row for the directory URL carrying the same digest/date.
+
+    Accepts either a raw ``html`` binary column (digest/size computed here)
+    or pre-computed ``payload_digest``/``size`` columns — crawl_round fuses
+    those into the fetch-join projection so the 8 KiB body never needs to
+    be cached (only the ~40 B digest rides the persisted round frame).
     """
+    if "payload_digest" in fetched.columns:
+        digest_col = F.col("payload_digest")
+        size_col = F.col("size")
+    else:
+        digest_col = F.when(F.col("fetched"), F.sha1(F.col("html")))
+        size_col = F.coalesce(F.length(F.col("html")), F.lit(0)).cast("long")
     with_mime = (
         fetched.withColumn("_ext", url_extension_expr(F.col("url")))
         .join(F.broadcast(mime_dim), on="_ext", how="left")
@@ -117,8 +128,8 @@ def derive_fetch_records(
         F.lit("resource").alias("record_type"),
         F.coalesce(F.col("_mime"), F.lit(DEFAULT_MIME)).alias("content_type"),
         iso8601z_expr(F.col("warc_ts")).alias("warc_date"),
-        F.when(F.col("fetched"), F.sha1(F.col("html"))).alias("payload_digest"),
-        F.coalesce(F.length(F.col("html")), F.lit(0)).cast("long").alias("size"),
+        digest_col.alias("payload_digest"),
+        size_col.alias("size"),
         "fetched",
         "reason",
         F.lit(None).cast("string").alias("refers_to_target_uri"),
@@ -272,6 +283,16 @@ def crawl_round(
         "url", "_purl"
     )
     sel_side = F.broadcast(selected) if cfg.broadcast_fetch else selected
+    # digest + size + raw hrefs are fused into THIS projection so the 8 KiB
+    # html body is consumed exactly once, streaming out of the join, and is
+    # never persisted: the cached round frame carries the 20-byte digest and
+    # the ~1 KiB href array instead of the body.  At CC weight that cuts
+    # ~3 full-corpus body copies per round (cache write + two consumer
+    # reads) — memory-copy bandwidth is the measured scaling ceiling.
+    is_fetched = F.col("warc_ts").isNotNull()
+    is_linkable = F.col("url").endswith(".html") | ~F.col("url").rlike(
+        r"\.[A-Za-z0-9]+$"
+    )
     fetched = (
         pages_r.join(sel_side, F.col("_purl") == selected["url"], "right_outer")
         .drop("_purl")
@@ -282,23 +303,29 @@ def crawl_round(
             "priority",
             "rank_in_host",
             "warc_ts",
-            "html",
-            F.col("warc_ts").isNotNull().alias("fetched"),
-            F.when(F.col("warc_ts").isNotNull(), F.lit("fetched"))
+            F.when(is_fetched, F.sha1(F.col("html"))).alias("payload_digest"),
+            F.coalesce(F.length(F.col("html")), F.lit(0))
+            .cast("long")
+            .alias("size"),
+            F.when(is_fetched & is_linkable, hrefs_expr(F.col("html"))).alias(
+                "_hrefs"
+            ),
+            is_fetched.alias("fetched"),
+            F.when(is_fetched, F.lit("fetched"))
             .otherwise(F.lit("missing"))
             .alias("reason"),
         )
         .persist()
     )
 
-    records = derive_fetch_records(fetched, mime_dim, cfg.index_suffixes)
+    records = derive_fetch_records(
+        fetched.drop("_hrefs"), mime_dim, cfg.index_suffixes
+    )
 
     # ---- link extraction + canonicalization (D4) ---------------------------
-    html_pages = fetched.where(
-        F.col("fetched") & F.col("url").endswith(".html")
-        | F.col("fetched") & ~F.col("url").rlike(r"\.[A-Za-z0-9]+$")
+    raw_links = resolve_hrefs(
+        fetched.where(F.col("_hrefs").isNotNull()), carry=("priority",)
     )
-    raw_links = extract_links(html_pages, carry=("priority",))
     # canonical url + politeness host in ONE projection: the fused struct
     # shares the single try_parse_url validity parse between both columns
     # (a separate host_expr(canonical) would re-parse the URL just built)
