@@ -243,9 +243,10 @@ def main() -> None:
     # only the tail of stdout, and the r4 full-size line got front-truncated
     # there ("parsed": null in BENCH_r04.json) — keep the printed line small
     # enough that truncation can never eat the opening brace.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     try:
-        os.makedirs("BENCH", exist_ok=True)
-        with open("BENCH/result_latest.json", "w") as f:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "result_latest.json"), "w") as f:
             json.dump(result, f, indent=1)
             f.write("\n")
     except OSError:

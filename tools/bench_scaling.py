@@ -215,11 +215,18 @@ def main():
     ]
     sel = None
     if "--pairs" in sys.argv:
-        sel = set(sys.argv[sys.argv.index("--pairs") + 1].split(","))
-    if quick:
-        pairs = [p for p in all_pairs if p[0] == "1to4_ccweight"]
-    elif sel:
+        idx = sys.argv.index("--pairs") + 1
+        if idx >= len(sys.argv):
+            sys.exit("--pairs needs a comma-separated list of pair labels")
+        sel = set(sys.argv[idx].split(","))
+        known = {p[0] for p in all_pairs}
+        if sel - known:
+            sys.exit(f"unknown pair label(s): {sorted(sel - known)}; "
+                     f"known: {sorted(known)}")
+    if sel:
         pairs = [p for p in all_pairs if p[0] in sel]
+    elif quick:
+        pairs = [p for p in all_pairs if p[0] == "1to4_ccweight"]
     else:
         pairs = all_pairs
     out = {

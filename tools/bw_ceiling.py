@@ -8,10 +8,15 @@ the pure-CPU pairwise ceiling (~0.97 at 1->4 on this box) but by how
 aggregate memory bandwidth grows with concurrent streams.  This probe
 measures that growth for the two traffic archetypes:
 
-- read:  sequential reduction over a 2 GiB array (numpy sum) — the fetch
-  join's cache scan shape.
-- copy:  read+write over 1 GiB src/dst pairs (numpy copyto) — the cache
-  population / shuffle write / GC evacuation shape.
+- read:  sequential reduction over a 1 GiB array (numpy sum) — the
+  fetch join's cache scan shape.
+- copy:  read+write over a 512 MiB src/dst pair (numpy copyto) — the
+  cache population / shuffle write / GC evacuation shape.
+
+Working sets are sized ABOVE this box's 260 MiB L3 (1 GiB read; 1 GiB
+combined copy pair) so even a single process streams from DRAM — an
+L3-resident low level would inflate agg_lo and understate the ceiling —
+while N processes x the array still fit in RAM at the widest level.
 
 Protocol: per level N, N processes run the kernel simultaneously with a
 barrier-ish start (forked together), each reporting its own GB/s over
@@ -38,7 +43,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _read_kernel(q):
     import numpy as np
 
-    a = np.ones(256 * 1024 * 1024 // 8)
+    a = np.ones(1024 * 1024 * 1024 // 8)
     a.sum()  # fault + warm
     reps = 6
     t0 = time.perf_counter()
@@ -50,7 +55,7 @@ def _read_kernel(q):
 def _copy_kernel(q):
     import numpy as np
 
-    a = np.ones(128 * 1024 * 1024 // 8)
+    a = np.ones(512 * 1024 * 1024 // 8)
     b = np.empty_like(a)
     np.copyto(b, a)
     reps = 6

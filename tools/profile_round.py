@@ -7,6 +7,8 @@ corpus, timing each phase of every round separately:
   - w_seen / w_fetched / w_frontier / w_lineage: the four delta writes
 
 Usage: python tools/profile_round.py <cpus> [n_pages] [n_seeds] [rounds]
+                                     [body_kb] [extra_links]
+(body_kb/extra_links nonzero = the CC-weight corpus bench_scaling uses)
 Prints one RESULT json line (same contract as bench_scaling children).
 """
 
@@ -26,7 +28,10 @@ def main():
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
     n_seeds = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-    n_hosts, budget = 512, 40_000
+    body_kb = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    extra_links = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+    n_hosts = 256 if body_kb else 512
+    budget = 40_000
 
     from warcit_spark import get_spark
     from warcit_spark.plans import crawl as C
@@ -38,7 +43,9 @@ def main():
 
     spark = get_spark("profile", master=f"local[{cpus}]", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
-    pages = (generate_pages(spark, n_pages, n_hosts=n_hosts)
+    pages = (generate_pages(spark, n_pages, n_hosts=n_hosts,
+                            body_kb=body_kb, extra_links=extra_links)
+             .select("url", "warc_ts", "html")
              .repartition(64, "url").sortWithinPartitions("url").persist())
     pages.count()
 

@@ -70,7 +70,10 @@ def _sorted_query_expr(query: Column) -> Column:
 # java.net.URI, so the slow path's validity gate would pass — '%' is
 # excluded because a malformed escape flips URI to reject).  Anything not
 # provably canonical falls through to the exact slow path.
-_FAST_CANON_RE = r"^https?://[a-z0-9._\-]+/[-a-zA-Z0-9._~!$&'()*+,;=:@/]*$"
+# \z (not $): Java's $ also matches before a FINAL line terminator, so a
+# url with a trailing '\n' would fast-path as "already canonical" with a
+# non-null host while the slow path's trim+URI gate handles it differently
+_FAST_CANON_RE = r"^https?://[a-z0-9._\-]+/[-a-zA-Z0-9._~!$&'()*+,;=:@/]*\z"
 # host of a fast-path URL: first-match (a path may itself contain '://')
 _FAST_HOST_RE = r"^https?://([^/]+)"
 

@@ -117,6 +117,13 @@ def streaming_politeness_admit(
     the group key), each micro-batch shuffles only its own rows, and the
     pandas function sees one host's batch at a time — a hot host costs
     one Arrow batch per trigger, never a global sort.
+
+    State-schema note: the state struct grew ``dropped`` (round 5); Spark's
+    state store rejects a checkpoint written under a different state
+    schema, so a live query upgrading across that change must restart from
+    a fresh checkpoint (or migrate state offline) — the standard
+    applyInPandasWithState evolution constraint, called out here because
+    this operator's state is cheap to rebuild (replay the frontier stream).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
