@@ -768,6 +768,103 @@ def t11_line_dedup(spark, sf_dir):
     return line_dedup(docs, min_df=2).orderBy("doc_id")
 
 
+def t12_gopher_rules(spark, sf_dir):
+    """Gopher document-quality gate (functions/text.py: Rae et al. 2021
+    §A1.1): word-count window, mean-word-length window, bullet-/ellipsis-
+    line fractions, alphabetic-word fraction, required-stopword hits, and
+    the conjunction as ``keep``.  All row-local JVM array exprs — the
+    filter a 100-TB pipeline pushes into its first full scan.  Line
+    structure is synthesized from the single-line fixture texts with two
+    deterministic literal replaces (same convention as t11); thresholds
+    are narrowed from the paper's so the gate discriminates at fixture
+    scale (fixture words 10-99, mean len 3.7-5.3)."""
+    from warcit_spark.functions.text import (
+        alpha_word_frac_expr,
+        bullet_line_frac_expr,
+        ellipsis_line_frac_expr,
+        gopher_keep_expr,
+        mean_word_length_expr,
+        required_stopword_hits_expr,
+        ws_tokens_expr,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # line synthesis uses NON-stopword vocab words so the required-
+    # stopword rule keeps its natural signal (replacing ' the ' would
+    # consume most of its own rule's evidence)
+    text2 = F.replace(
+        F.replace(F.col("text"), F.lit(" key "), F.lit("\n- ")),
+        F.lit(" scan "),
+        F.lit("...\n"),
+    )
+    docs = d.select("doc_id", text2.alias("text"))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(ws_tokens_expr(t)).alias("n_words"),
+        mean_word_length_expr(t).alias("mean_word_len"),
+        alpha_word_frac_expr(t).alias("alpha_frac"),
+        required_stopword_hits_expr(t).alias("stop_hits"),
+        bullet_line_frac_expr(t).alias("bullet_frac"),
+        ellipsis_line_frac_expr(t).alias("ellipsis_frac"),
+        gopher_keep_expr(
+            t,
+            min_words=25,
+            max_words=90,
+            min_mean_word_len=3.0,
+            max_mean_word_len=4.8,
+            max_bullet_frac=0.5,
+            max_ellipsis_frac=0.4,
+            min_alpha_frac=0.8,
+            min_stopword_hits=1,
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def t13_repeated_ngrams(spark, sf_dir):
+    """Gopher repetition signals: fraction of word-bigram instances
+    accounted for by the most frequent bigram, fraction of bigram
+    instances that are duplicates, and the trigram top-fraction
+    (functions/text.py:top_ngram_frac_expr/dup_ngram_frac_expr).
+    Row-local array exprs — zero shuffle; the explode shape documented in
+    text.py takes over for book-length docs."""
+    from warcit_spark.functions.text import (
+        dup_ngram_frac_expr,
+        top_ngram_frac_expr,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        top_ngram_frac_expr(F.col("text"), 2).alias("top_bigram_frac"),
+        dup_ngram_frac_expr(F.col("text"), 2).alias("dup_bigram_frac"),
+        top_ngram_frac_expr(F.col("text"), 3).alias("top_trigram_frac"),
+    ).orderBy("doc_id")
+
+
+def pack1_chunk_pack(spark, sf_dir):
+    """GPT-style concatenate-then-chunk sequence packing
+    (operators/packing.py:chunk_pack): docs split across 8 deterministic
+    pack streams, concatenated in id order, cut every 256 tokens.  Pure
+    window functions; the oracle is the same running-sum arithmetic in
+    SQL."""
+    from warcit_spark.operators.packing import chunk_pack
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_pack(d, capacity=256, n_buckets=8).orderBy("doc_id")
+
+
+def pack2_greedy_pack(spark, sf_dir):
+    """Greedy next-fit bin packing (operators/packing.py:greedy_pack):
+    docs never straddle context windows; inherently a stateful per-stream
+    scan, so it runs as Arrow-batched applyInPandas per bucket.  The
+    oracle replays the same next-fit recurrence as a recursive CTE."""
+    from warcit_spark.operators.packing import greedy_pack
+
+    d = _t(spark, sf_dir, "documents")
+    return greedy_pack(d, capacity=256, n_buckets=8).orderBy("doc_id")
+
+
 def t9_tfidf_topk(spark, sf_dir):
     """Per-document top-3 characteristic terms by tf·(N/df) — the
     inverted-index + window pattern (functions/text.tfidf_topk_terms).
@@ -955,6 +1052,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc3_semantic_dedup": cc3_semantic_dedup,
         "t10_decontaminate": t10_decontaminate,
         "t11_line_dedup": t11_line_dedup,
+        "t12_gopher_rules": t12_gopher_rules,
+        "t13_repeated_ngrams": t13_repeated_ngrams,
+        "pack1_chunk_pack": pack1_chunk_pack,
+        "pack2_greedy_pack": pack2_greedy_pack,
         "pp1_preprocess_pipeline": pp1_preprocess_pipeline,
         "t9_tfidf_topk": t9_tfidf_topk,
         "smp1_stratified_sample": smp1_stratified_sample,
@@ -1344,6 +1445,141 @@ def oracle_sql() -> dict[str, str]:
                  AS lines_removed
         FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN tot USING (doc_id)
         ORDER BY d.doc_id
+    """
+    # Gopher quality gate — identical replaces, splits, rounds, thresholds
+    # as t12_gopher_rules (functions/text.py exprs).
+    d["t12_gopher_rules"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 replace(replace(text, ' key ', chr(10) || '- '),
+                         ' scan ', '...' || chr(10)) AS text
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '') AS ws,
+                 list_filter(string_split(text, chr(10)),
+                             l -> trim(l) <> '') AS ls
+          FROM d),
+        c AS (
+          SELECT doc_id,
+                 len(ws) AS n_words,
+                 CASE WHEN len(ws) > 0 THEN round(
+                        CAST(list_aggregate(list_transform(ws, w -> len(w)),
+                                            'sum') AS DOUBLE) / len(ws), 6)
+                      ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN len(ws) > 0 THEN round(
+                        CAST(len(list_filter(ws,
+                               w -> regexp_matches(w, '[A-Za-z]')))
+                             AS DOUBLE) / len(ws), 6)
+                      ELSE 0.0 END AS alpha_frac,
+                 len(list_filter(
+                       ['the','be','to','of','and','that','have','with'],
+                       s -> list_contains(ws, s))) AS stop_hits,
+                 CASE WHEN len(ls) > 0 THEN round(
+                        CAST(len(list_filter(ls,
+                               l -> starts_with(trim(l), '- ')
+                                    OR starts_with(trim(l), '* ')))
+                             AS DOUBLE) / len(ls), 6)
+                      ELSE 0.0 END AS bullet_frac,
+                 CASE WHEN len(ls) > 0 THEN round(
+                        CAST(len(list_filter(ls,
+                               l -> ends_with(trim(l), '...')))
+                             AS DOUBLE) / len(ls), 6)
+                      ELSE 0.0 END AS ellipsis_frac
+          FROM b)
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+               bullet_frac, ellipsis_frac,
+               (n_words BETWEEN 25 AND 90
+                AND mean_word_len >= 3.0 AND mean_word_len <= 4.8
+                AND bullet_frac <= 0.5 AND ellipsis_frac <= 0.4
+                AND alpha_frac >= 0.8 AND stop_hits >= 1) AS keep
+        FROM c ORDER BY doc_id
+    """
+    # Repeated-n-gram fractions — same grams (space-joined, words_expr
+    # tokenization), same round(.,6).  DuckDB slices are 1-based inclusive:
+    # ws[i:i+1] is the bigram at i, ws[i:i+2] the trigram.
+    d["t13_repeated_ngrams"] = f"""
+        WITH d AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(ws) - 1),
+                                i -> array_to_string(ws[i:i+1], ' ')) AS g2,
+                 list_transform(generate_series(1, len(ws) - 2),
+                                i -> array_to_string(ws[i:i+2], ' ')) AS g3
+          FROM d)
+        SELECT doc_id,
+               CASE WHEN len(g2) > 0 THEN round(
+                      CAST(list_max(list_transform(list_distinct(g2),
+                             x -> len(list_filter(g2, y -> y = x))))
+                           AS DOUBLE) / len(g2), 6)
+                    ELSE 0.0 END AS top_bigram_frac,
+               CASE WHEN len(g2) > 0 THEN round(
+                      CAST(len(g2) - len(list_filter(list_distinct(g2),
+                             x -> len(list_filter(g2, y -> y = x)) = 1))
+                           AS DOUBLE) / len(g2), 6)
+                    ELSE 0.0 END AS dup_bigram_frac,
+               CASE WHEN len(g3) > 0 THEN round(
+                      CAST(list_max(list_transform(list_distinct(g3),
+                             x -> len(list_filter(g3, y -> y = x))))
+                           AS DOUBLE) / len(g3), 6)
+                    ELSE 0.0 END AS top_trigram_frac
+        FROM g ORDER BY doc_id
+    """
+    # Concatenate-then-chunk packing: same bucket split, same whitespace
+    # token count (t1 convention), same running-sum/window arithmetic.
+    d["pack1_chunk_pack"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(doc_id % 8 AS INT) AS bucket,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                      END AS INT) AS tokens
+          FROM documents),
+        w AS (
+          SELECT doc_id, bucket, tokens,
+                 CAST(coalesce(sum(tokens) OVER (
+                        PARTITION BY bucket ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_off
+          FROM t)
+        SELECT doc_id, bucket, tokens, start_off,
+               CAST(start_off // 256 AS BIGINT) AS bin_first,
+               CAST((start_off + greatest(tokens - 1, 0)) // 256 AS BIGINT)
+                 AS bin_last
+        FROM w ORDER BY doc_id
+    """
+    # Greedy next-fit packing: the same recurrence replayed as a recursive
+    # CTE stepping row_number within each bucket (bin of row i depends on
+    # rows 1..i-1 — exactly what greedy_pack's per-bucket scan computes).
+    d["pack2_greedy_pack"] = r"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 CAST(doc_id % 8 AS INT) AS bucket,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                      END AS INT) AS tokens
+          FROM documents),
+        seq AS (
+          SELECT doc_id, bucket, tokens,
+                 row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                   AS rn
+          FROM t),
+        walk AS (
+          SELECT doc_id, bucket, tokens, rn, 0 AS bin, tokens AS fill
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.doc_id, s.bucket, s.tokens, s.rn,
+                 CASE WHEN w.fill > 0 AND w.fill + s.tokens > 256
+                      THEN w.bin + 1 ELSE w.bin END,
+                 CASE WHEN w.fill > 0 AND w.fill + s.tokens > 256
+                      THEN s.tokens ELSE w.fill + s.tokens END
+          FROM walk w JOIN seq s
+            ON s.bucket = w.bucket AND s.rn = w.rn + 1)
+        SELECT doc_id, bucket, tokens,
+               CAST(bin AS INT) AS bin,
+               CAST(fill - tokens AS INT) AS "offset"
+        FROM walk ORDER BY doc_id
     """
     d["t9_tfidf_topk"] = f"""
         WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),

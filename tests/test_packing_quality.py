@@ -1,0 +1,171 @@
+"""Tests for sequence packing (operators/packing.py) and the Gopher
+quality / repeated-n-gram expressions (functions/text.py).
+
+Packing invariants are checked against a pure-Python next-fit twin on
+hand-built corpora; quality exprs against hand-computed values.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from warcit_spark.functions.text import (
+    alpha_word_frac_expr,
+    bullet_line_frac_expr,
+    dup_ngram_frac_expr,
+    ellipsis_line_frac_expr,
+    gopher_keep_expr,
+    mean_word_length_expr,
+    required_stopword_hits_expr,
+    top_ngram_frac_expr,
+    word_ngrams_expr,
+    ws_tokens_expr,
+)
+from warcit_spark.operators.packing import chunk_pack, greedy_pack, pack_stats
+
+
+# ----------------------------------------------------------------- packing
+
+
+def _docs(spark, tokens_by_id):
+    rows = [(i, " ".join(["w"] * t)) for i, t in tokens_by_id.items()]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _nextfit_twin(tokens_by_id, capacity, n_buckets):
+    """Pure-Python greedy next-fit, the spec greedy_pack must match."""
+    out = {}
+    for b in range(n_buckets):
+        ids = sorted(i for i in tokens_by_id if i % n_buckets == b)
+        cur, fill = 0, 0
+        for i in ids:
+            t = tokens_by_id[i]
+            if fill > 0 and fill + t > capacity:
+                cur, fill = cur + 1, 0
+            out[i] = (b, cur, fill)
+            fill += t
+    return out
+
+
+def test_greedy_pack_matches_python_twin(spark):
+    tokens = {i: (i * 37) % 90 + 5 for i in range(60)}
+    docs = _docs(spark, tokens)
+    got = {
+        r["doc_id"]: (r["bucket"], r["bin"], r["offset"])
+        for r in greedy_pack(docs, capacity=100, n_buckets=4).collect()
+    }
+    assert got == _nextfit_twin(tokens, 100, 4)
+
+
+def test_greedy_pack_never_overfills_and_never_straddles(spark):
+    tokens = {i: (i * 13) % 70 + 1 for i in range(80)}
+    docs = _docs(spark, tokens)
+    packed = greedy_pack(docs, capacity=64, n_buckets=3)
+    stats = pack_stats(packed, capacity=64).collect()
+    for r in stats:
+        # a window is only overfull if a single doc exceeds capacity
+        assert r["fill"] <= 64 or r["n_docs"] == 1
+        assert r["waste"] == max(64 - r["fill"], 0)
+    # offsets are the within-bin running sum: offset + tokens <= next offset
+    rows = sorted(packed.collect(), key=lambda r: (r["bucket"], r["bin"], r["offset"]))
+    from itertools import groupby
+
+    for _, grp in groupby(rows, key=lambda r: (r["bucket"], r["bin"])):
+        grp = list(grp)
+        assert grp[0]["offset"] == 0
+        for a, b in zip(grp, grp[1:]):
+            assert a["offset"] + a["tokens"] == b["offset"]
+
+
+def test_greedy_pack_oversized_doc_gets_own_bin(spark):
+    docs = _docs(spark, {0: 10, 4: 500, 8: 10})  # all bucket 0 (n_buckets=4)
+    got = {
+        r["doc_id"]: (r["bin"], r["offset"])
+        for r in greedy_pack(docs, capacity=100, n_buckets=4).collect()
+    }
+    assert got == {0: (0, 0), 4: (1, 0), 8: (2, 0)}
+
+
+def test_chunk_pack_running_sums_and_straddle(spark):
+    docs = _docs(spark, {0: 100, 4: 100, 8: 100})  # one bucket, capacity 256
+    got = {
+        r["doc_id"]: (r["start_off"], r["bin_first"], r["bin_last"])
+        for r in chunk_pack(docs, capacity=256, n_buckets=4).collect()
+    }
+    # doc 8 starts at 200 and ends at 299 -> straddles windows 0 and 1
+    assert got == {0: (0, 0, 0), 4: (100, 0, 0), 8: (200, 0, 1)}
+
+
+def test_chunk_pack_empty_doc_and_bad_capacity(spark):
+    docs = spark.createDataFrame([(0, ""), (4, "a b")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["tokens"], r["bin_first"], r["bin_last"])
+        for r in chunk_pack(docs, capacity=10, n_buckets=4).collect()
+    }
+    assert got == {0: (0, 0, 0), 4: (2, 0, 0)}
+    with pytest.raises(ValueError):
+        greedy_pack(docs, capacity=0)
+
+
+def test_greedy_pack_plan_is_single_bucket_exchange(spark):
+    """The only shuffle is the hash exchange on bucket feeding the
+    Arrow-grouped map — no extra sort/exchange stacked on top."""
+    docs = _docs(spark, {i: 5 for i in range(20)})
+    plan = greedy_pack(docs, capacity=10, n_buckets=4)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(bucket") == 1
+
+
+# ------------------------------------------------- gopher quality exprs
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], "text string").select(
+        expr.alias("v")
+    ).first()["v"]
+
+
+def test_mean_word_length_and_alpha_frac(spark):
+    assert _one(spark, "ab cdef", mean_word_length_expr(F.col("text"))) == 3.0
+    assert _one(spark, "", mean_word_length_expr(F.col("text"))) == 0.0
+    assert _one(spark, "ab 12 - cd", alpha_word_frac_expr(F.col("text"))) == 0.5
+    assert _one(spark, "  a   b  ", F.size(ws_tokens_expr(F.col("text")))) == 2
+
+
+def test_required_stopword_hits_distinct(spark):
+    # 'the' twice still counts once; 'and' + 'of' add one each
+    v = _one(spark, "the the and of cat", required_stopword_hits_expr(F.col("text")))
+    assert v == 3
+    assert _one(spark, "cat dog", required_stopword_hits_expr(F.col("text"))) == 0
+
+
+def test_bullet_and_ellipsis_line_fracs(spark):
+    text = "- one\nplain\n* two\nend...\n\n  \n"
+    assert _one(spark, text, bullet_line_frac_expr(F.col("text"))) == 0.5
+    assert _one(spark, text, ellipsis_line_frac_expr(F.col("text"))) == 0.25
+    assert _one(spark, "", bullet_line_frac_expr(F.col("text"))) == 0.0
+
+
+def test_gopher_keep_conjunction(spark):
+    good = " ".join(["the word of tests runs fine"] * 10)  # 60 words, stopwords
+    assert _one(spark, good, gopher_keep_expr(F.col("text"), min_words=50)) is True
+    # too short
+    assert _one(spark, "the of word", gopher_keep_expr(F.col("text"), min_words=50)) is False
+    # no required stopwords
+    nostop = " ".join(["word cats dogs run fast here"] * 10)
+    assert _one(spark, nostop, gopher_keep_expr(F.col("text"), min_words=50)) is False
+
+
+# ------------------------------------------------- repeated n-gram exprs
+
+
+def test_word_ngrams_and_fracs(spark):
+    t = "a b a b c"
+    grams = _one(spark, t, word_ngrams_expr(F.col("text"), 2))
+    assert grams == ["a b", "b a", "a b", "b c"]
+    assert _one(spark, t, top_ngram_frac_expr(F.col("text"), 2)) == 0.5
+    assert _one(spark, t, dup_ngram_frac_expr(F.col("text"), 2)) == 0.5
+    # fewer words than n -> empty grams, 0.0 fractions (no descending
+    # sequence() blowup)
+    assert _one(spark, "solo", word_ngrams_expr(F.col("text"), 2)) == []
+    assert _one(spark, "", top_ngram_frac_expr(F.col("text"), 3)) == 0.0

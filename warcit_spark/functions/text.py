@@ -234,3 +234,164 @@ def tfidf_topk_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "term", F.round("score", 6).alias("score"))
     )
+
+
+# -------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1) — the standard
+# web-text document-quality gate every training-data pipeline runs.  All
+# pure JVM array/string expressions with exact DuckDB SQL twins.
+# -------------------------------------------------------------------------
+
+# The paper's "must contain >= 2 of" stopword set.
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def ws_tokens_expr(text: Column) -> Column:
+    """Whitespace tokens with empties filtered ('' -> [])."""
+    return F.filter(
+        F.split(F.trim(text), r"\s+"), lambda w: w != F.lit("")
+    )
+
+
+def mean_word_length_expr(text: Column) -> Column:
+    """Mean whitespace-token length (0.0 for empty docs), rounded to 6 —
+    one exact integer sum and one IEEE division, bit-stable across
+    engines."""
+    ws = ws_tokens_expr(text)
+    n = F.size(ws)
+    total = F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    return F.when(n > 0, F.round(total.cast("double") / n, 6)).otherwise(F.lit(0.0))
+
+
+def alpha_word_frac_expr(text: Column) -> Column:
+    """Fraction of whitespace tokens containing >=1 ASCII letter."""
+    ws = ws_tokens_expr(text)
+    n = F.size(ws)
+    hits = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    return F.when(n > 0, F.round(hits.cast("double") / n, 6)).otherwise(F.lit(0.0))
+
+
+def required_stopword_hits_expr(text: Column) -> Column:
+    """How many DISTINCT words of GOPHER_REQUIRED_STOPWORDS the doc
+    contains (the paper keeps docs with >= 2).  Iterates the fixed
+    8-element rule list, not the document — O(8) membership probes."""
+    ws = ws_tokens_expr(text)
+    rules = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+    return F.size(F.filter(rules, lambda s: F.array_contains(ws, s)))
+
+
+def _nonempty_lines(text: Column) -> Column:
+    return F.filter(
+        F.split(text, "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+
+
+def bullet_line_frac_expr(text: Column) -> Column:
+    """Fraction of non-empty lines starting with a bullet ('- ' or '* ')."""
+    lines = _nonempty_lines(text)
+    n = F.size(lines)
+    hits = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).startswith("- ") | F.trim(l).startswith("* "),
+        )
+    )
+    return F.when(n > 0, F.round(hits.cast("double") / n, 6)).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_frac_expr(text: Column) -> Column:
+    """Fraction of non-empty lines ending with '...'."""
+    lines = _nonempty_lines(text)
+    n = F.size(lines)
+    hits = F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+    return F.when(n > 0, F.round(hits.cast("double") / n, 6)).otherwise(F.lit(0.0))
+
+
+def gopher_keep_expr(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """The conjunction of the Gopher quality rules as one boolean column.
+
+    Defaults are the paper's; queries over the synthetic fixture narrow
+    them so the gate actually discriminates at test scale."""
+    n = F.size(ws_tokens_expr(text))
+    mwl = mean_word_length_expr(text)
+    return (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len)
+        & (bullet_line_frac_expr(text) <= max_bullet_frac)
+        & (ellipsis_line_frac_expr(text) <= max_ellipsis_frac)
+        & (alpha_word_frac_expr(text) >= min_alpha_frac)
+        & (required_stopword_hits_expr(text) >= min_stopword_hits)
+    )
+
+
+# -------------------------------------------------------------------------
+# Repeated-n-gram repetition signals (Gopher §A1.1 "repetitious text":
+# fraction of the doc accounted for by the most common n-gram, and the
+# fraction of n-gram instances that are duplicates).  Row-local array
+# expressions — no shuffle at all; each doc's grams never leave its row.
+#
+# Scale note: the row-local distinct×filter count is O(g·d) per doc
+# (g grams, d distinct grams) — right for web pages (10^2-10^3 words).
+# For book-length docs flip to the explode shape: explode grams, groupBy
+# (doc_id, gram) — one shuffle keyed by (doc, gram), skew-free because
+# the doc id is in the key (same shape tfidf_topk_terms uses).
+# -------------------------------------------------------------------------
+
+
+def word_ngrams_expr(text: Column, n: int = 2) -> Column:
+    """Space-joined word n-grams over words_expr; [] when the doc has
+    fewer than n words (guards F.sequence's descending-range pitfall)."""
+    ws = words_expr(text)
+    sz = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+    return F.when(sz >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngram_frac_expr(text: Column, n: int = 2) -> Column:
+    """Occurrences of the most frequent word n-gram / total n-grams."""
+    grams = word_ngrams_expr(text, n)
+    total = F.size(grams)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.when(total > 0, F.round(top.cast("double") / total, 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dup_ngram_frac_expr(text: Column, n: int = 2) -> Column:
+    """Fraction of n-gram INSTANCES whose gram occurs more than once
+    (= 1 - singletons/total)."""
+    grams = word_ngrams_expr(text, n)
+    total = F.size(grams)
+    singles = F.size(
+        F.filter(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)) == 1,
+        )
+    )
+    return F.when(
+        total > 0,
+        F.round((total - singles).cast("double") / total, 6),
+    ).otherwise(F.lit(0.0))
