@@ -865,6 +865,56 @@ def pack2_greedy_pack(spark, sf_dir):
     return greedy_pack(d, capacity=256, n_buckets=8).orderBy("doc_id")
 
 
+def t15_exact_substring(spark, sf_dir):
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022;
+    operators/dedup.py:exact_substring_spans): every 4-word shingle
+    occurring >=2 times corpus-wide anchors a span; overlapping/adjacent
+    anchors merge into maximal per-doc spans (gaps-and-islands).  The
+    paper's suffix array becomes two skew-free shuffles + per-doc
+    windows."""
+    from warcit_spark.operators.dedup import exact_substring_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_substring_spans(d, k=4, min_count=2).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def t14_bpe_token_count(spark, sf_dir):
+    """Pretokenizer-level (BPE-ish) token budget per document
+    (functions/text.py:bpe_token_count_expr): letter runs, single digits,
+    single marks — the GPT-2 pretokenizer simplified to classes whose
+    semantics match exactly between Java regex and RE2 — next to the
+    whitespace count (t1) and a chars-per-token ratio.  Pure JVM
+    regexp_extract_all; punctuation is synthesized into the fixture texts
+    with deterministic replaces so the mark/digit branches carry data."""
+    from warcit_spark.functions.text import (
+        BPE_ISH_PATTERN,  # noqa: F401  (documented pattern, shared w/ oracle)
+        bpe_token_count_expr,
+        token_count_expr,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    text2 = F.replace(
+        F.replace(F.col("text"), F.lit(" batch "), F.lit(", batch-42 ")),
+        F.lit(" window "),
+        F.lit(" window. "),
+    )
+    docs = d.select("doc_id", text2.alias("text"))
+    n_bpe = bpe_token_count_expr(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(
+            n_bpe > 0,
+            F.round(F.length("text").cast("double") / n_bpe, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
 def t9_tfidf_topk(spark, sf_dir):
     """Per-document top-3 characteristic terms by tf·(N/df) — the
     inverted-index + window pattern (functions/text.tfidf_topk_terms).
@@ -1056,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_repeated_ngrams": t13_repeated_ngrams,
         "pack1_chunk_pack": pack1_chunk_pack,
         "pack2_greedy_pack": pack2_greedy_pack,
+        "t14_bpe_token_count": t14_bpe_token_count,
+        "t15_exact_substring": t15_exact_substring,
         "pp1_preprocess_pipeline": pp1_preprocess_pipeline,
         "t9_tfidf_topk": t9_tfidf_topk,
         "smp1_stratified_sample": smp1_stratified_sample,
@@ -1580,6 +1632,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(bin AS INT) AS bin,
                CAST(fill - tokens AS INT) AS "offset"
         FROM walk ORDER BY doc_id
+    """
+    # ExactSubstr spans: same shingles (words09 tokenization, k=4), same
+    # corpus-wide count, same overlap-or-adjacent island merge.
+    d["t15_exact_substring"] = """
+        WITH d AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text),
+                              '[^a-z0-9]+'), w -> w <> '') AS ws
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(ws)-3),
+                        i -> struct_pack(pos := i,
+                               s := array_to_string(ws[i:i+3], ' ')))) AS a
+               FROM d WHERE len(ws) >= 4),
+        r AS (SELECT doc_id, (a).pos AS pos, (a).s AS s FROM sh),
+        dup AS (SELECT s FROM r GROUP BY s HAVING count(*) >= 2),
+        h AS (SELECT doc_id, pos FROM r WHERE s IN (SELECT s FROM dup)),
+        isl AS (SELECT doc_id, pos,
+                  CASE WHEN max(pos + 3) OVER w IS NULL
+                            OR pos > max(pos + 3) OVER w + 1
+                       THEN 1 ELSE 0 END AS ni
+                FROM h
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)),
+        g AS (SELECT doc_id, pos,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+              FROM isl)
+        SELECT doc_id,
+               min(pos) AS span_start,
+               max(pos) + 3 AS span_end,
+               max(pos) + 3 - min(pos) + 1 AS span_words,
+               count(*) AS n_anchors
+        FROM g GROUP BY doc_id, isl
+        ORDER BY doc_id, span_start
+    """
+    # BPE-ish token census: same replaces, same pattern, same rounding.
+    d["t14_bpe_token_count"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 replace(replace(text, ' batch ', ', batch-42 '),
+                         ' window ', ' window. ') AS text
+          FROM documents),
+        c AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                 END AS n_ws_tokens,
+                 len(regexp_extract_all(lower(text),
+                     '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe_tokens
+          FROM d)
+        SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+               CASE WHEN n_bpe_tokens > 0
+                    THEN round(CAST(len(text) AS DOUBLE) / n_bpe_tokens, 6)
+                    ELSE 0.0 END AS chars_per_token
+        FROM c ORDER BY doc_id
     """
     d["t9_tfidf_topk"] = f"""
         WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),

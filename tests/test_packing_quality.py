@@ -169,3 +169,36 @@ def test_word_ngrams_and_fracs(spark):
     # sequence() blowup)
     assert _one(spark, "solo", word_ngrams_expr(F.col("text"), 2)) == []
     assert _one(spark, "", top_ngram_frac_expr(F.col("text"), 3)) == 0.0
+
+
+def test_bpe_token_count(spark):
+    from warcit_spark.functions.text import bpe_token_count_expr
+
+    # 'hello' 'world' -> 2; ',' '!' -> 2; '4' '2' -> 2 (digits split)
+    assert _one(spark, "Hello, world! 42", bpe_token_count_expr(F.col("text"))) == 6
+    assert _one(spark, "", bpe_token_count_expr(F.col("text"))) == 0
+    assert _one(spark, "   ", bpe_token_count_expr(F.col("text"))) == 0
+
+
+def test_exact_substring_spans_golden(spark):
+    from warcit_spark.operators.dedup import exact_substring_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),          # shares 'a b c d' with doc 1
+            (1, "x x a b c d y z"),
+            (2, "p q r s t u v w"),          # unique -> no spans
+            (3, "a b c d a b c d"),          # anchors at pos 1 and 5: adjacent -> ONE span
+            (4, "a b c"),                    # shorter than k -> no shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_words"], r["n_anchors"])
+        for r in exact_substring_spans(docs, k=4, min_count=2).collect()
+    }
+    assert got == {
+        (0, 1, 4, 4, 1),
+        (1, 3, 6, 4, 1),
+        (3, 1, 8, 8, 2),
+    }

@@ -49,11 +49,30 @@ from warcit_spark.sources.fixture import (
 cpus = {cpus}
 spark = get_spark("scaling-bench", master=f"local[{{cpus}}]", shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
-pages = (generate_pages(spark, {n_pages}, n_hosts={n_hosts},
-                       body_kb={body_kb}, extra_links={extra_links})
-         .select("url", "warc_ts", "html")
-         .repartition(64, "url").sortWithinPartitions("url").persist())
-pages.count()
+pages_src = (generate_pages(spark, {n_pages}, n_hosts={n_hosts},
+                            body_kb={body_kb}, extra_links={extra_links})
+             .select("url", "warc_ts", "html"))
+if {pages_backend!r} == "table":
+    # the design-point corpus shape: a url-bucketed, url-sorted parquet
+    # TABLE on tmpfs (single-box analog of the Iceberg pages table a real
+    # deployment scans) — a 100-TB corpus is never heap-cached.  The fetch
+    # SMJ reads it Bucketed (zero pages-side exchange, no sort); per-round
+    # corpus reads are snappy-parquet decode (CPU, scales with cores)
+    # instead of heap columnar-cache copies (memory bus + GC, which the
+    # BW_CEILING probe shows is the box's non-scaling resource).
+    corpus_dir = tempfile.mkdtemp(prefix="pagescorpus_", dir={state_dir!r})
+    (pages_src.repartition(64, "url")
+     .write.format("parquet").bucketBy(64, "url").sortBy("url")
+     .option("path", corpus_dir + "/pages")
+     .mode("overwrite").saveAsTable("pages_corpus"))
+    pages = spark.table("pages_corpus").select("url", "warc_ts", "html")
+else:
+    # in-memory analog of the bucketed table (round-over-round continuity
+    # with the v2/v3 runs recorded in SCALING.json)
+    corpus_dir = None
+    pages = (pages_src
+             .repartition(64, "url").sortWithinPartitions("url").persist())
+    pages.count()
 md = _mime_dim(spark).persist(); md.count()
 robots = generate_robots(spark)
 cfg = CrawlConfig(host_budget={budget}, max_rounds={rounds}, n_salt=16,
@@ -90,6 +109,8 @@ try:
         "cpus": cpus, "round_sec": times, "round_urls": emitted}}))
 finally:
     shutil.rmtree(root, ignore_errors=True)
+    if corpus_dir:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
     spark.stop()
 """
 
@@ -102,12 +123,14 @@ WARMUP_ROUNDS = 0
 
 
 def run_level(cpus, n_pages, n_seeds, budget, n_hosts, rounds,
-              body_kb=0, extra_links=0, heap=None) -> dict:
+              body_kb=0, extra_links=0, heap=None,
+              pages_backend="cache") -> dict:
     code = CHILD.format(
         repo=REPO, cpus=cpus, n_pages=n_pages, n_seeds=n_seeds,
         budget=budget, n_hosts=n_hosts, rounds=rounds,
         body_kb=body_kb, extra_links=extra_links,
         state_dir=STATE_DIR or "/tmp",
+        pages_backend=pages_backend,
     )
     env = dict(os.environ)
     # heap is a PER-PAIR config (identical at both levels of a pair):
@@ -137,7 +160,7 @@ def _median(xs):
 
 
 def measure_pair(lo, hi, n_pages, n_seeds, budget, n_hosts, rounds, repeats,
-                 body_kb=0, extra_links=0, heap=None):
+                 body_kb=0, extra_links=0, heap=None, pages_backend="cache"):
     runs = {lo: [], hi: []}
     for rep in range(repeats):
         # interleave lo/hi within each repeat so slow drift (thermal, page
@@ -145,7 +168,7 @@ def measure_pair(lo, hi, n_pages, n_seeds, budget, n_hosts, rounds, repeats,
         for cpus in (lo, hi):
             res = run_level(cpus, n_pages, n_seeds, budget, n_hosts, rounds,
                             body_kb=body_kb, extra_links=extra_links,
-                            heap=heap)
+                            heap=heap, pages_backend=pages_backend)
             runs[cpus].append(res)
             print(json.dumps({"rep": rep, **res}), flush=True)
 
@@ -165,6 +188,7 @@ def measure_pair(lo, hi, n_pages, n_seeds, budget, n_hosts, rounds, repeats,
     return {
         "n_pages": n_pages, "n_seeds": n_seeds, "host_budget": budget,
         "body_kb": body_kb, "extra_links": extra_links, "child_heap": heap or "12g",
+        "pages_backend": pages_backend,
         "n_hosts": n_hosts, "rounds": rounds, "repeats": repeats,
         "warmup_rounds_excluded": WARMUP_ROUNDS,
         f"local{lo}_round_sec_min": lo_min,
@@ -191,27 +215,34 @@ def main():
     # light-page pairs keep the synthetic-minimal corpus for continuity
     # with rounds 1-2; their pages are ~300 B, which over-weights
     # coordination latency relative to any real crawl.
+    # trailing element = pages backend: "cache" (heap columnar cache,
+    # v2/v3 continuity) or "table" (url-bucketed parquet table on tmpfs —
+    # the Iceberg-analog corpus a 100-TB deployment actually scans)
     all_pairs = [
-        ("1to4_ccweight", 1, 4, 400_000, 200_000, 40_000, 256, 3, 3, 8, 20, "12g"),
+        ("1to4_ccweight", 1, 4, 400_000, 200_000, 40_000, 256, 3, 3, 8, 20, "12g", "cache"),
+        # primary pair over the TABLE corpus: per-round corpus reads are
+        # parquet decode (scales with cores) instead of heap-cache copy
+        # traffic (the measured box ceiling)
+        ("1to4_ccweight_tablecorpus", 1, 4, 400_000, 200_000, 40_000, 256, 3, 3, 8, 20, "12g", "table"),
         # design-point round sizes for the primary pair: 2x seeds makes the
         # steady rounds ~2-3x larger, amortizing per-stage fixed latency the
         # way a 10^10-frontier round (10^8+ urls) would; pairs with the
         # round-size convergence table in BASELINE.md
-        ("1to4_ccweight_2xseeds", 1, 4, 400_000, 400_000, 40_000, 256, 3, 3, 8, 20, "12g"),
+        ("1to4_ccweight_2xseeds", 1, 4, 400_000, 400_000, 40_000, 256, 3, 3, 8, 20, "12g", "cache"),
         # the 1to4 point on the round-size convergence curve: same corpus
         # as 2to8_ccweight_2xseeds (round 0 ~360k urls), so the primary
         # pair is measured at the largest round size the box can hold --
         # the regime a production frontier (10^8+ urls/round) lives in
-        ("1to4_ccweight_biground", 1, 4, 800_000, 800_000, 40_000, 256, 3, 2, 8, 20, "24g"),
-        ("2to8_ccweight", 2, 8, 800_000, 400_000, 40_000, 256, 3, 2, 8, 20, "24g"),
+        ("1to4_ccweight_biground", 1, 4, 800_000, 800_000, 40_000, 256, 3, 2, 8, 20, "24g", "cache"),
+        ("2to8_ccweight", 2, 8, 800_000, 400_000, 40_000, 256, 3, 2, 8, 20, "24g", "cache"),
         # widest pair at the design-point weight; box pure-CPU pairwise
         # ceiling at 8->32 is 0.65 (32 threads share 32 cores with the
         # driver + GC), so this documents throughput AGAINST that ceiling
         # rather than chasing the 0.8 target the hardware cannot show
-        ("8to32_ccweight", 8, 32, 800_000, 400_000, 40_000, 256, 3, 2, 8, 20, "24g"),
-        ("1to4", 1, 4, 2_000_000, 1_000_000, 40_000, 512, 4, 2, 0, 0, "24g"),
-        ("2to8", 2, 8, 4_000_000, 1_000_000, 40_000, 512, 5, 2, 0, 0, "24g"),
-        ("8to32", 8, 32, 16_000_000, 4_000_000, 40_000, 512, 5, 2, 0, 0, "24g"),
+        ("8to32_ccweight", 8, 32, 800_000, 400_000, 40_000, 256, 3, 2, 8, 20, "24g", "cache"),
+        ("1to4", 1, 4, 2_000_000, 1_000_000, 40_000, 512, 4, 2, 0, 0, "24g", "cache"),
+        ("2to8", 2, 8, 4_000_000, 1_000_000, 40_000, 512, 5, 2, 0, 0, "24g", "cache"),
+        ("8to32", 8, 32, 16_000_000, 4_000_000, 40_000, 512, 5, 2, 0, 0, "24g", "cache"),
     ]
     sel = None
     if "--pairs" in sys.argv:
@@ -237,11 +268,11 @@ def main():
                     "bucketed seen (seen_buckets=64)"
     }
     for (label, lo, hi, n_pages, n_seeds, budget, n_hosts, rounds, reps,
-         body_kb, extra_links, heap) in pairs:
+         body_kb, extra_links, heap, backend) in pairs:
         out[label] = measure_pair(lo, hi, n_pages, n_seeds, budget,
                                   n_hosts, rounds, reps,
                                   body_kb=body_kb, extra_links=extra_links,
-                                  heap=heap)
+                                  heap=heap, pages_backend=backend)
         print(json.dumps({label: out[label]}, indent=2), flush=True)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "SCALING.json")

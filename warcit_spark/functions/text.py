@@ -395,3 +395,17 @@ def dup_ngram_frac_expr(text: Column, n: int = 2) -> Column:
         total > 0,
         F.round((total - singles).cast("double") / total, 6),
     ).otherwise(F.lit(0.0))
+
+
+# A BPE-style pretokenizer census (GPT-2's pattern simplified to classes
+# whose semantics are identical in Java regex and RE2): letter runs,
+# single digits, single non-alnum-non-space marks.  Token COUNT under
+# this segmentation tracks real BPE token counts closely enough for
+# budget/packing estimates, and is exactly reproducible in any engine.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """Count of BPE_ISH_PATTERN matches over the lowercased text — the
+    pretokenizer-level token budget (whitespace never tokenizes)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), F.lit(0)))

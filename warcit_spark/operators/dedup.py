@@ -537,3 +537,84 @@ def line_dedup(
         .alias("lines_kept"),
         F.coalesce(F.col("_removed"), F.lit(0)).cast("int").alias("lines_removed"),
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": drop any
+    substring that occurs verbatim more than once in the corpus).
+
+    The suffix-array construction of the paper is replaced by a
+    Spark-native anchor shape with the same span semantics at k-token
+    granularity: every k-word shingle occurring >= ``min_count`` times
+    corpus-wide (including within one document) anchors a duplicated
+    span; per document, overlapping or adjacent anchors merge into
+    maximal spans (gaps-and-islands over a running max of span ends).
+
+    Returns one row per merged span: (id_col, span_start, span_end,
+    span_words, n_anchors) with 1-based inclusive word positions.
+
+    Scale shape: one shuffle keyed by the shingle string for the
+    corpus-wide count (map-side combined; at 100 TB key by
+    ``xxhash64(shingle)`` instead to cut shuffle width — a 64-bit
+    collision only risks a spurious extra span, never a miss), one
+    shuffle of hit positions back to documents, and per-document windows
+    (doc id in the partition key — skew-free).  No suffix array, no
+    driver state.
+    """
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda w: w != F.lit("")
+    )
+    n = F.size(ws)
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), F.concat_ws(" ", F.slice(ws, i, k)).alias("s")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,s:string>>"))
+    rows = docs.select(F.col(id_col), F.explode(sh).alias("_a")).select(
+        id_col, F.col("_a.pos").alias("pos"), F.col("_a.s").alias("s")
+    )
+    dup = (
+        rows.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("s")
+    )
+    hits = rows.join(dup, on="s", how="left_semi")
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(w_prev)
+    new_island = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+    ).otherwise(0)
+    islands = hits.withColumn("_isl", F.sum(new_island).over(w_run))
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_words"),
+            "n_anchors",
+        )
+    )

@@ -282,6 +282,17 @@ def crawl_round(
     pages_r = pages.select("url", "warc_ts", "html").withColumnRenamed(
         "url", "_purl"
     )
+    if not cfg.broadcast_fetch:
+        # Pin the fetch join to sort-merge: the pages side must NEVER be
+        # the broadcast build side.  Parquet/Iceberg-backed corpora report
+        # COMPRESSED size to the planner — a 3.2-GiB (decompressed) corpus
+        # whose zstd files read 57 MB slips under autoBroadcastJoinThreshold
+        # and the planner builds a multi-GiB single-threaded hash relation
+        # per round (measured: a parallelism-independent ~180 s stall at
+        # every level of the table-corpus scaling pair).  At the design
+        # point (100-TB pages table) broadcasting the corpus is never the
+        # plan; the hint makes small-file stats incapable of flipping it.
+        pages_r = pages_r.hint("merge")
     sel_side = F.broadcast(selected) if cfg.broadcast_fetch else selected
     # digest + size + raw hrefs are fused into THIS projection so the 8 KiB
     # html body is consumed exactly once, streaming out of the join, and is
