@@ -915,6 +915,80 @@ def t14_bpe_token_count(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def mix1_token_budget(spark, sf_dir):
+    """Training-mixture draw under a token budget (operators/mixing.py):
+    temperature-scaled per-source weights (alpha=0.5 up-weights small
+    sources), integer token allocation per source, then a deterministic
+    md5-ranked per-source draw while the running token sum fits.  Two
+    tiny-key shuffles + one source-partitioned window; weights rounded
+    before the budget multiply so the floor boundary is engine-exact."""
+    from warcit_spark.operators.mixing import token_budget_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return token_budget_mix(d, budget=10_000, alpha=0.5).orderBy("doc_id")
+
+
+def smp2_dsir_topk(spark, sf_dir):
+    """DSIR importance selection (operators/dsir.py, Xie et al. 2023):
+    weight every raw doc by the mean unigram log2-likelihood ratio of a
+    Laplace-smoothed target LM (docs with lang='en') vs the raw LM,
+    keep the top half of raw docs above the exact median threshold.
+    One word-keyed count shuffle + broadcast model join + groupBy(doc)
+    — the model never touches the driver.  Oracle replays the identical
+    two LMs, smoothing, mean, and quantile_cont threshold."""
+    from warcit_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(d, F.col("lang") == "en", keep_frac=0.5).orderBy(
+        "doc_id"
+    )
+
+
+def t17_html_text(spark, sf_dir):
+    """WET-style visible-text extraction (functions/html.py): drop
+    script/style/head subtrees + comments, strip tags, decode the six
+    high-frequency entities, collapse whitespace; plus <title> capture.
+    Pure JVM regexp chain (zero UDFs, row-local).  The fixture's html is
+    synthesized from documents.text with the same deterministic concat
+    in both engines, so every branch (dropped subtree, comment, entity,
+    undecoded &copy; passthrough) carries data."""
+    from warcit_spark.functions.html import html_text_expr, html_title_expr
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><!-- id "),
+        F.col("doc_id"),
+        F.lit(" --><head><title>Doc "),
+        F.col("doc_id"),
+        F.lit(" &amp; friends</title><style>p{color:red}</style></head>"),
+        F.lit('<body><script type="text/javascript">var x = 1 < 2;</script><p>'),
+        F.replace(F.col("text"), F.lit(". "), F.lit(".</p> <p>")),
+        F.lit("</p><div>&copy; corp&nbsp;&quot;q&#39;s&quot; &lt;tag&gt;</div>"),
+        F.lit("</body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        html_title_expr(html).alias("title"),
+        html_text_expr(html).alias("text"),
+        F.length(html_text_expr(html)).alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def t16_lm_ppl_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing (operators/lm_quality.py): score
+    every doc's perplexity under a Laplace-smoothed char-bigram LM
+    trained on the corpus itself, then split head/middle/tail at the
+    exact corpus tertiles.  Train = one map-side-combined shuffle over
+    <= V^2 keys; scoring = ZERO-shuffle row-local map-literal lookup
+    (the k-means-codebook transport pattern); buckets = percentile agg
+    + 1-row broadcast.  Oracle replays the identical model, smoothing,
+    log2 sums, and quantile_cont tertiles in SQL."""
+    from warcit_spark.operators.lm_quality import lm_quality_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_quality_buckets(d).orderBy("doc_id")
+
+
 def t9_tfidf_topk(spark, sf_dir):
     """Per-document top-3 characteristic terms by tf·(N/df) — the
     inverted-index + window pattern (functions/text.tfidf_topk_terms).
@@ -1108,6 +1182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack2_greedy_pack": pack2_greedy_pack,
         "t14_bpe_token_count": t14_bpe_token_count,
         "t15_exact_substring": t15_exact_substring,
+        "t16_lm_ppl_buckets": t16_lm_ppl_buckets,
+        "t17_html_text": t17_html_text,
+        "smp2_dsir_topk": smp2_dsir_topk,
+        "mix1_token_budget": mix1_token_budget,
         "pp1_preprocess_pipeline": pp1_preprocess_pipeline,
         "t9_tfidf_topk": t9_tfidf_topk,
         "smp1_stratified_sample": smp1_stratified_sample,
@@ -1687,6 +1765,141 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(CAST(len(text) AS DOUBLE) / n_bpe_tokens, 6)
                     ELSE 0.0 END AS chars_per_token
         FROM c ORDER BY doc_id
+    """
+    # Mixture draw: identical whitespace token count (t1's), identical
+    # sqrt-temperature weights rounded BEFORE the budget multiply
+    # (quarantines libm pow ulps from the floor boundary), identical
+    # md5 rank and running-sum cutoff.
+    d["mix1_token_budget"] = r"""
+        WITH tk AS (
+          SELECT doc_id, source,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                 END AS BIGINT) AS n_tokens
+          FROM documents),
+        per_src AS (SELECT source, sum(n_tokens) AS tokens_s
+                    FROM tk GROUP BY source),
+        z AS (SELECT sum(pow(CAST(tokens_s AS DOUBLE), 0.5)) AS z
+              FROM per_src),
+        alloc AS (SELECT source,
+                         CAST(floor(10000.0 *
+                           round(pow(CAST(tokens_s AS DOUBLE), 0.5) / z.z, 6))
+                         AS BIGINT) AS alloc_tokens
+                  FROM per_src CROSS JOIN z),
+        ranked AS (SELECT doc_id, source, n_tokens,
+                          sum(n_tokens) OVER (
+                            PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_tokens
+                   FROM tk)
+        SELECT r.doc_id, r.source, r.n_tokens,
+               CAST(r.cum_tokens AS BIGINT) AS cum_tokens
+        FROM ranked r JOIN alloc a USING (source)
+        WHERE r.cum_tokens <= a.alloc_tokens
+        ORDER BY r.doc_id
+    """
+    # DSIR: identical target/raw unigram LMs (Laplace over the shared
+    # vocab), identical mean log2 ratio, identical median threshold.
+    d["smp2_dsir_topk"] = f"""
+        WITH d AS (SELECT doc_id, (lang = 'en') AS t, {_WORDS_SQL} AS ws
+                   FROM documents),
+        w AS (SELECT doc_id, t, unnest(ws) AS w FROM d),
+        counts AS (SELECT w,
+                          sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+                          sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+                   FROM w GROUP BY w),
+        tot AS (SELECT count(*) AS v, sum(ct) AS nt, sum(cr) AS nr
+                FROM counts),
+        model AS (SELECT w,
+                         log2((ct + 1.0) / (nt + v))
+                         - log2((cr + 1.0) / (nr + v)) AS lr
+                  FROM counts CROSS JOIN tot),
+        sc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+                      round(avg(lr), 6) AS dsir_logratio
+               FROM w JOIN model USING (w) GROUP BY doc_id),
+        raw AS (SELECT sc.* FROM sc
+                JOIN (SELECT doc_id FROM documents WHERE lang <> 'en') r
+                USING (doc_id)),
+        thr AS (SELECT quantile_cont(dsir_logratio, 0.5) AS th FROM raw)
+        SELECT doc_id, n_words, dsir_logratio
+        FROM raw CROSS JOIN thr
+        WHERE dsir_logratio >= thr.th
+        ORDER BY doc_id
+    """
+    # WET extraction: identical html synthesis, identical pattern chain
+    # (patterns written in the Java-regex/RE2 common subset), identical
+    # entity decode order (&amp; last).
+    d["t17_html_text"] = r"""
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><!-- id ' || doc_id || ' --><head><title>Doc '
+                 || doc_id
+                 || ' &amp; friends</title><style>p{color:red}</style></head>'
+                 || '<body><script type="text/javascript">var x = 1 < 2;</script><p>'
+                 || replace(text, '. ', '.</p> <p>')
+                 || '</p><div>&copy; corp&nbsp;&quot;q&#39;s&quot; &lt;tag&gt;</div>'
+                 || '</body></html>' AS html
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 regexp_extract(html,
+                   '(?is)<title\b[^>]*>(.*?)</title\s*>', 1) AS title_raw,
+                 regexp_replace(regexp_replace(regexp_replace(html,
+                   '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>|<head\b[^>]*>.*?</head\s*>',
+                   ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g') AS body_raw
+          FROM h),
+        e AS (
+          SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(title_raw,
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t2,
+                 replace(replace(replace(replace(replace(replace(body_raw,
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS b2
+          FROM s)
+        SELECT doc_id,
+               trim(regexp_replace(t2, '\s+', ' ', 'g')) AS title,
+               trim(regexp_replace(b2, '\s+', ' ', 'g')) AS text,
+               CAST(len(trim(regexp_replace(b2, '\s+', ' ', 'g'))) AS INT)
+                 AS n_chars
+        FROM e ORDER BY doc_id
+    """
+    # CCNet buckets: identical bigram model (Laplace smoothing, V from
+    # bigram-participating chars), identical log2 mean, identical
+    # round-then-tertile split (quantile_cont == Spark exact percentile:
+    # both interpolate linearly at p*(n-1)).
+    d["t16_lm_ppl_buckets"] = """
+        WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(t)-1),
+                                            i -> substring(t, i, 2))) AS bg
+               FROM d WHERE len(t) >= 2),
+        model AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+        pref AS (SELECT substring(bg, 1, 1) AS p, sum(c) AS tot
+                 FROM model GROUP BY p),
+        voc AS (SELECT count(DISTINCT ch) AS v FROM (
+                  SELECT substring(bg, 1, 1) AS ch FROM model
+                  UNION SELECT substring(bg, 2, 1) FROM model)),
+        sc AS (SELECT b.doc_id,
+                      count(*) AS n_bigrams,
+                      round(pow(2.0, -sum(log2((m.c + 1.0) / (pf.tot + voc.v)))
+                                     / count(*)), 6) AS ppl
+               FROM bg b
+               JOIN model m USING (bg)
+               JOIN pref pf ON substring(b.bg, 1, 1) = pf.p
+               CROSS JOIN voc
+               GROUP BY b.doc_id),
+        th AS (SELECT quantile_cont(ppl, 1.0/3) AS t1,
+                      quantile_cont(ppl, 2.0/3) AS t2 FROM sc)
+        SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams, ppl,
+               CASE WHEN ppl <= th.t1 THEN 'head'
+                    WHEN ppl <= th.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM sc CROSS JOIN th
+        ORDER BY doc_id
     """
     d["t9_tfidf_topk"] = f"""
         WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
