@@ -171,3 +171,60 @@ def test_streaming_politeness_admit_stateful_budget(spark, tmp_path_factory):
         } == {1}
     finally:
         q.stop()
+
+
+def test_streaming_wet_preprocess(spark, tmp_path_factory):
+    from warcit_spark.streaming.ingest import streaming_wet_preprocess
+
+    src = str(tmp_path_factory.mktemp("wet_src"))
+    body_a = (
+        "<html><head><title>Doc A</title><style>p{}</style></head>"
+        "<body><p>alpha beta gamma delta</p></body></html>"
+    )
+    body_b = (
+        "<html><head><title>Doc B</title></head>"
+        "<body><script>var x=1;</script><p>epsilon zeta omicron kappa</p></body></html>"
+    )
+    junk = "<html><body><script>only code, no text</script></body></html>"
+    rows = [
+        ("http://h.test/a1", body_a),
+        ("http://h.test/a2", body_a),  # duplicate content, different url
+        ("http://h.test/b", body_b),
+        ("http://h.test/junk", junk),  # empty text -> gopher gate drops
+    ]
+    spark.createDataFrame(
+        [(u, b.encode()) for u, b in rows], "url string, html binary"
+    ).selectExpr(
+        "url", "timestamp'2026-01-01 00:00:00' as warc_ts", "html",
+        "cast(null as string) as text", "cast(null as string) as lang",
+    ).select("url", "warc_ts", "html", "text", "lang").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = streaming_wet_preprocess(
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).parquet(src),
+        min_words=3,
+        min_stopword_hits=0,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wet_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM wet_test").collect()
+    finally:
+        q.stop()
+    # duplicate content deduped by digest, junk page gated out
+    assert len(got) == 2
+    by_title = {r.title: r for r in got}
+    assert set(by_title) == {"Doc A", "Doc B"}
+    assert by_title["Doc A"].text == "alpha beta gamma delta"
+    assert by_title["Doc B"].text == "epsilon zeta omicron kappa"
+    assert by_title["Doc A"].url in ("http://h.test/a1", "http://h.test/a2")
+    assert len({r.digest for r in got}) == 2

@@ -238,6 +238,9 @@ def main():
         # 2to8 over the TABLE corpus (same rationale as the 1to4 table
         # pair: corpus reads are parquet decode, not heap-cache copies)
         ("2to8_ccweight_tablecorpus", 2, 8, 800_000, 400_000, 40_000, 256, 3, 2, 8, 20, "24g", "table"),
+        # design-point round size AND design-point corpus shape together:
+        # 2x seeds (round 0 ~360k urls) over the bucketed parquet table
+        ("2to8_ccweight_2xseeds_tablecorpus", 2, 8, 800_000, 800_000, 40_000, 256, 3, 2, 8, 20, "24g", "table"),
         # widest pair at the design-point weight; box pure-CPU pairwise
         # ceiling at 8->32 is 0.65 (32 threads share 32 cores with the
         # driver + GC), so this documents throughput AGAINST that ceiling

@@ -37,6 +37,11 @@ AUDIT = [
     "t9_tfidf_topk",
     "smp1_stratified_sample",
     "x7_ivf_kmeans",
+    "t15_exact_substring",
+    "t16_lm_ppl_buckets",
+    "t17_html_text",
+    "smp2_dsir_topk",
+    "mix1_token_budget",
 ]
 
 SMELLS = [

@@ -71,6 +71,50 @@ def streaming_frontier_dedup(
     return canon.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
 
 
+def streaming_wet_preprocess(
+    pages: DataFrame,
+    watermark: str = "1 hour",
+    min_words: int = 5,
+    min_stopword_hits: int = 0,
+) -> DataFrame:
+    """Streaming WET preprocess: the training-data front half running AS
+    pages arrive instead of in a batch sweep — visible-text extraction
+    (functions/html.py), the Gopher quality gate (functions/text.py),
+    and state-store-backed exact content dedup on the text's sha1 within
+    the watermark horizon.
+
+    Every transform before the dedup is a stateless row-local projection
+    (the same JVM expression chain the batch queries use — streaming and
+    batch share one implementation, so quality semantics cannot drift
+    between the live and the sweep path).  The only stateful operator is
+    ``dropDuplicates`` on the content digest: state is one digest per
+    kept doc, bounded by the watermark; global historical dedup remains
+    the batch loop's exact job (same division of labor as
+    streaming_frontier_dedup vs the seen table).
+
+    Thresholds default LOW (min_words=5) because streaming fixtures are
+    tiny; production uses the Gopher paper defaults via the kwargs.
+    """
+    from warcit_spark.functions.html import html_text_expr, html_title_expr
+    from warcit_spark.functions.text import gopher_keep_expr
+
+    html_str = F.decode(F.col("html"), "UTF-8")
+    extracted = pages.select(
+        "url",
+        "warc_ts",
+        html_title_expr(html_str).alias("title"),
+        html_text_expr(html_str).alias("text"),
+    )
+    kept = extracted.where(
+        gopher_keep_expr(
+            F.col("text"),
+            min_words=min_words,
+            min_stopword_hits=min_stopword_hits,
+        )
+    ).withColumn("digest", F.sha1(F.col("text")))
+    return kept.withWatermark("warc_ts", watermark).dropDuplicates(["digest"])
+
+
 def start_ingest(
     spark: SparkSession,
     src_path: str,
