@@ -915,6 +915,29 @@ def t14_bpe_token_count(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def g1_pagerank(spark, sf_dir):
+    """PageRank over a deterministic directed graph on 200 doc nodes
+    (operators/graph.pagerank: power iteration, uniform teleport,
+    dangling-mass redistribution, one dst-keyed shuffle per iteration,
+    n and dangling mass as broadcast 1-row frames — zero driver
+    scalars).  Nodes with doc_id % 11 == 0 have no out-edges, so the
+    dangling path carries data.  The oracle unrolls the same three
+    iterations as chained CTEs."""
+    from warcit_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    non_dangling = d.where(F.col("doc_id") % 11 != 0)
+    e1 = non_dangling.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 200).alias("dst"),
+    )
+    e2 = non_dangling.where(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    pr = pagerank(e1.unionByName(e2), iters=3, damping=0.85)
+    return pr.select(F.col("node").alias("doc_id"), "rank").orderBy("doc_id")
+
+
 def mix1_token_budget(spark, sf_dir):
     """Training-mixture draw under a token budget (operators/mixing.py):
     temperature-scaled per-source weights (alpha=0.5 up-weights small
@@ -1186,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_html_text": t17_html_text,
         "smp2_dsir_topk": smp2_dsir_topk,
         "mix1_token_budget": mix1_token_budget,
+        "g1_pagerank": g1_pagerank,
         "pp1_preprocess_pipeline": pp1_preprocess_pipeline,
         "t9_tfidf_topk": t9_tfidf_topk,
         "smp1_stratified_sample": smp1_stratified_sample,
@@ -1765,6 +1789,55 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(CAST(len(text) AS DOUBLE) / n_bpe_tokens, 6)
                     ELSE 0.0 END AS chars_per_token
         FROM c ORDER BY doc_id
+    """
+    # PageRank: identical edge synthesis, identical power iteration
+    # (teleport + dangling redistribution) unrolled 3x as chained CTEs.
+    d["g1_pagerank"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        eraw AS (
+          SELECT doc_id AS src, (doc_id * 7 + 3) % 200 AS dst FROM d
+          WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id, doc_id - 1 FROM d
+          WHERE doc_id % 11 <> 0 AND doc_id % 5 <> 0),
+        e AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+        v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM v),
+        deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+                FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / n.cnt AS r FROM v CROSS JOIN n),
+        dm0 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r0
+                WHERE node NOT IN (SELECT src FROM deg)),
+        s0 AS (SELECT e.dst AS node, sum(r0.r / deg.deg) AS s
+               FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        r1 AS (SELECT v.node,
+                      (1.0 - 0.85) / n.cnt + 0.85 * (coalesce(s0.s, 0.0)
+                                             + dm0.dm / n.cnt) AS r
+               FROM v LEFT JOIN s0 ON v.node = s0.node
+               CROSS JOIN n CROSS JOIN dm0),
+        dm1 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r1
+                WHERE node NOT IN (SELECT src FROM deg)),
+        s1 AS (SELECT e.dst AS node, sum(r1.r / deg.deg) AS s
+               FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        r2 AS (SELECT v.node,
+                      (1.0 - 0.85) / n.cnt + 0.85 * (coalesce(s1.s, 0.0)
+                                             + dm1.dm / n.cnt) AS r
+               FROM v LEFT JOIN s1 ON v.node = s1.node
+               CROSS JOIN n CROSS JOIN dm1),
+        dm2 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r2
+                WHERE node NOT IN (SELECT src FROM deg)),
+        s2 AS (SELECT e.dst AS node, sum(r2.r / deg.deg) AS s
+               FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        r3 AS (SELECT v.node,
+                      (1.0 - 0.85) / n.cnt + 0.85 * (coalesce(s2.s, 0.0)
+                                             + dm2.dm / n.cnt) AS r
+               FROM v LEFT JOIN s2 ON v.node = s2.node
+               CROSS JOIN n CROSS JOIN dm2)
+        SELECT node AS doc_id, round(r, 9) AS rank
+        FROM r3 ORDER BY doc_id
     """
     # Mixture draw: identical whitespace token count (t1's), identical
     # sqrt-temperature weights rounded BEFORE the budget multiply

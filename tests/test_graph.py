@@ -123,3 +123,32 @@ def test_cc_string_ids(spark):
         "http://a/2": "http://a/1",
         "http://b/9": "http://a/1",
     }
+
+
+def test_pagerank_matches_python_twin(spark):
+    from warcit_spark.operators.graph import pagerank
+
+    # cycle 0-1-2, mutual 0<->3, feeder 5->0, and 6 dangling (in-edge only)
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (0, 3), (5, 0), (0, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=4, damping=0.85).collect()}
+
+    # python twin
+    nodes = sorted({x for e in edges for x in e})
+    n = float(len(nodes))
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(4):
+        dm = sum(rv for v, rv in r.items() if v not in deg)
+        s = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            s[b] += r[a] / deg[a]
+        r = {v: 0.15000000000000002 / n + 0.85 * (s[v] + dm / n) for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(round(r[v], 9), abs=2e-9), v
+    # mass conservation
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    # the hub (node 0: three in-edges) outranks the dangling leaf
+    assert got[0] > got[6]

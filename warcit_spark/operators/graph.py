@@ -159,3 +159,82 @@ def dup_clusters(
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list — the
+    host/page authority score a crawl frontier prioritizes by (the
+    north-star's priority column; plans/crawl.py consumes any
+    (node, score) table as seed priorities).
+
+    Standard formulation: uniform teleport, dangling mass (rank held by
+    nodes with no out-edges) redistributed uniformly each step,
+
+        r'(v) = (1-d)/n + d * (sum_{u->v} r(u)/deg(u) + dm/n)
+
+    so total rank stays 1 every iteration.
+
+    Scale shape: per iteration ONE shuffle keyed by dst (the contrib
+    groupBy, map-side combined) plus broadcast 1-row joins for n and the
+    dangling mass — NO driver-side scalars, no collect; the vertex count
+    and dangling mass ride as broadcast single-row frames.  Lineage is
+    truncated per iteration (localCheckpoint) exactly as in
+    connected_components above — the same iterative-DataFrame pitfall.
+    Fixed ``iters`` (power iteration converges geometrically at rate
+    ``damping``; rank ORDER stabilizes long before values — 3-10
+    iterations is the practical crawl-prioritization regime).
+
+    Returns (node, rank) with rank rounded to 9 decimals.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n1 = v.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("_deg"))
+
+    rank = v.crossJoin(F.broadcast(n1)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for _ in range(iters):
+        dm1 = (
+            rank.join(deg, rank["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        contrib = (
+            e.join(rank, e["src"] == rank["node"])
+            .join(deg, on="src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_s"))
+            .withColumnRenamed("dst", "node")
+        )
+        rank = (
+            v.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(n1))
+            .crossJoin(F.broadcast(dm1))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (F.coalesce(F.col("_s"), F.lit(0.0)) + F.col("_dm") / F.col("_n"))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select("node", F.round("rank", 9).alias("rank"))
