@@ -35,6 +35,18 @@ def test_latest_by_key(spark):
     }
 
 
+def test_latest_by_key_version_ties_are_deterministic(spark):
+    # same url re-appended in the SAME round (the crash-recovery
+    # duplicate plans/state.py produces): struct ordering breaks the tie
+    # by the remaining columns -> max html string wins, every run
+    dup = spark.createDataFrame(
+        [("u", 1, "aaa"), ("u", 1, "zzz"), ("u", 0, "old")],
+        "url string, round int, html string",
+    )
+    got = latest_by_key(dup, "url", "round").collect()
+    assert [(r["url"], r["round"], r["html"]) for r in got] == [("u", 1, "zzz")]
+
+
 def test_compact_and_join_plan_is_exchange_free(spark, tmp_path):
     name = "pages_compact_test"
     tbl = compact_deltas_to_bucketed(

@@ -95,13 +95,27 @@ def lm_perplexity(
         vocab.update((bg[:1], bg[1:2]))
     v = max(len(vocab), 1)
 
-    logp = {
-        bg: math.log2((c + 1.0) / (totals[bg[:1]] + v)) for bg, c in counts.items()
-    }
+    # TWO-LEVEL map literal, keyed prefix char -> (next char -> logp).
+    # GetMapValue on a map literal is a LINEAR key scan (no hashing), so
+    # a flat V^2-entry map would make scoring O(doc_bigrams x V^2) near
+    # the guard; nesting bounds every lookup to two scans of <= V entries
+    # (<= 512 comparisons at full Latin-1, typically ~30).
+    nested: dict[str, dict[str, float]] = {}
+    for bg, c in counts.items():
+        nested.setdefault(bg[:1], {})[bg[1:2]] = math.log2(
+            (c + 1.0) / (totals[bg[:1]] + v)
+        )
     unseen = {ch: math.log2(1.0 / (tot + v)) for ch, tot in totals.items()}
 
     logp_map = F.create_map(
-        *[F.lit(x) for kv in logp.items() for x in kv]
+        *[
+            x
+            for ch, inner in nested.items()
+            for x in (
+                F.lit(ch),
+                F.create_map(*[F.lit(y) for kv in inner.items() for y in kv]),
+            )
+        ]
     )
     unseen_map = F.create_map(
         *[F.lit(x) for kv in unseen.items() for x in kv]
@@ -112,7 +126,10 @@ def lm_perplexity(
         F.lit(0.0),
         lambda acc, b: acc
         + F.coalesce(
-            logp_map[b], unseen_map[F.substr(b, F.lit(1), F.lit(1))],
+            logp_map[F.substr(b, F.lit(1), F.lit(1))][
+                F.substr(b, F.lit(2), F.lit(1))
+            ],
+            unseen_map[F.substr(b, F.lit(1), F.lit(1))],
             F.lit(math.log2(1.0 / v)),
         ),
     )

@@ -31,17 +31,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 from warcit_spark.functions.text import token_count_expr
 
 
-def source_allocations(
-    docs: DataFrame,
-    budget: int,
-    alpha: float = 0.5,
-    text_col: str = "text",
-    source_col: str = "source",
+def _allocations_from_totals(
+    per_source: DataFrame, budget: int, alpha: float, source_col: str
 ) -> DataFrame:
-    """Per-source (tokens_s, weight, alloc_tokens) under the budget."""
-    per_source = docs.groupBy(source_col).agg(
-        F.sum(token_count_expr(F.col(text_col))).alias("tokens_s")
-    )
+    """(source, tokens_s, weight, alloc_tokens) from per-source token
+    totals — the n_sources-row tail of the allocation, shared by
+    source_allocations and token_budget_mix so the corpus is tokenized
+    exactly once whichever entry point runs."""
     z = per_source.agg(
         F.sum(F.pow(F.col("tokens_s").cast("double"), F.lit(alpha))).alias("_z")
     )
@@ -61,6 +57,20 @@ def source_allocations(
     )
 
 
+def source_allocations(
+    docs: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source (tokens_s, weight, alloc_tokens) under the budget."""
+    per_source = docs.groupBy(source_col).agg(
+        F.sum(token_count_expr(F.col(text_col))).alias("tokens_s")
+    )
+    return _allocations_from_totals(per_source, budget, alpha, source_col)
+
+
 def token_budget_mix(
     docs: DataFrame,
     budget: int,
@@ -73,19 +83,30 @@ def token_budget_mix(
     md5(id) order while the cumulative token count stays within the
     source's allocation.  Returns (id_col, source_col, n_tokens,
     cum_tokens) for kept docs."""
+    # slim per-doc projection (id, source, count, rank — NO text), lazily
+    # checkpointed: both consumers below (the cum-sum window and the
+    # per-source totals) reuse the materialized rows, so the corpus scan
+    # + regex tokenization run exactly once.  ~40 B/doc of block storage
+    # (memory-and-disk), not a second multi-TB text pass.
     ranked = docs.select(
         F.col(id_col),
         F.col(source_col),
         token_count_expr(F.col(text_col)).cast("bigint").alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("_rk"),
-    )
+    ).localCheckpoint(eager=False)
     w = (
         Window.partitionBy(source_col)
         .orderBy("_rk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = ranked.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    alloc = source_allocations(docs, budget, alpha, text_col, source_col).select(
+    # allocations derive from the SAME ranked projection (sum of its
+    # n_tokens), not a second source_allocations(docs) subtree — the
+    # corpus is scanned and regex-tokenized exactly once end to end
+    per_source = ranked.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("tokens_s")
+    )
+    alloc = _allocations_from_totals(per_source, budget, alpha, source_col).select(
         source_col, "alloc_tokens"
     )
     return (

@@ -58,14 +58,22 @@ def write_bucketed_table(
 def latest_by_key(
     df: DataFrame, key_col: str, version_col: str
 ) -> DataFrame:
-    """One row per key: the row with the maximum ``version_col``
-    (ties broken arbitrarily-but-deterministically by max_by's struct
-    comparison).  A single map-side-combined aggregation — no window,
-    no global sort."""
-    others = [c for c in df.columns if c != key_col]
-    packed = F.struct(F.col(version_col), *[F.col(c) for c in others if c != version_col])
-    agg = df.groupBy(key_col).agg(F.max_by(packed, F.col(version_col)).alias("_r"))
-    cols = [F.col(key_col)] + [F.col(f"_r.{c}").alias(c) for c in [version_col] + [c for c in others if c != version_col]]
+    """One row per key: the row with the maximum ``version_col``.
+
+    Implemented as ``max`` over a struct with the version as its FIRST
+    field — struct ordering compares version first, then the remaining
+    fields — so version ties break deterministically by the other
+    columns' values (``max_by`` would compare only the version and pick
+    whichever row a partial aggregate met first, giving rerun-dependent
+    output on the re-appended-round duplicates plans/state.py's
+    crash-recovery story produces).  A single map-side-combined
+    aggregation — no window, no global sort."""
+    rest = [c for c in df.columns if c not in (key_col, version_col)]
+    packed = F.struct(F.col(version_col), *[F.col(c) for c in rest])
+    agg = df.groupBy(key_col).agg(F.max(packed).alias("_r"))
+    cols = [F.col(key_col)] + [
+        F.col(f"_r.{c}").alias(c) for c in [version_col] + rest
+    ]
     return agg.select(*cols)
 
 

@@ -57,18 +57,23 @@ def streaming_frontier_dedup(
     urls: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:
     """Streaming URL-seen filter: canonicalize, then state-store-backed
-    ``dropDuplicates`` on the canonical url (the Structured-Streaming
-    analog of the batch seen-set anti-join J5).  The watermark bounds the
-    dedup state for continuous ingest; exact global dedup remains the
-    batch loop's job (SURVEY.md §4.2 — the Bloom/state here is a
-    prefilter, the exact set lives in the `seen` table)."""
+    ``dropDuplicatesWithinWatermark`` on the canonical url (the
+    Structured-Streaming analog of the batch seen-set anti-join J5).
+    WithinWatermark (not plain dropDuplicates) is what makes the
+    "watermark bounds the state" claim true — a plain dropDuplicates
+    keyed on url alone never evicts, since eviction requires the
+    event-time column in the dedup key.  Exact global dedup remains the
+    batch loop's job (SURVEY.md §4.2 — the state here is a prefilter,
+    the exact set lives in the `seen` table)."""
     from warcit_spark.functions.urls import canonicalize_url_expr
 
     canon = urls.select(
         canonicalize_url_expr(F.col("url")).alias("url"),
         F.col("warc_ts"),
     )
-    return canon.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+    return canon.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
 
 
 def streaming_wet_preprocess(
@@ -112,7 +117,17 @@ def streaming_wet_preprocess(
             min_stopword_hits=min_stopword_hits,
         )
     ).withColumn("digest", F.sha1(F.col("text")))
-    return kept.withWatermark("warc_ts", watermark).dropDuplicates(["digest"])
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates: with a plain
+    # dropDuplicates the watermark only evicts state when the event-time
+    # column is part of the dedup key, so keying on digest alone would
+    # grow one state row per distinct document FOREVER on a continuous
+    # ingest.  WithinWatermark keys on digest alone AND evicts each entry
+    # once the watermark passes its event time — dedup is exact within
+    # the horizon, which is this operator's contract (global historical
+    # dedup is the batch sweep's job).
+    return kept.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["digest"]
+    )
 
 
 def start_ingest(
