@@ -915,6 +915,41 @@ def t14_bpe_token_count(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def f8_url_spam(spark, sf_dir):
+    """Frontier-side URL spam/trap scoring (functions/urls.py
+    url_spam_score_expr): digit-heavy hosts, deep paths, repeated
+    segments (calendar traps), faceted-search query explosions — the
+    pre-fetch gate of public CC-derived pipelines.  Row-local regex
+    parse (engine-replayable, no parse_url), score pushes to the scan.
+    URLs are synthesized deterministically so every signal carries data;
+    output = each url's signals + score + keep decision."""
+    from warcit_spark.functions.urls import url_spam_score_expr
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("cdn"), F.col("doc_id") % 97, F.lit("x")))
+        .otherwise(F.lit("site")),
+        F.lit(".test/"),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.lit("cal/2026/01/cal/2026/01/d"), F.col("doc_id")),
+        ).otherwise(F.concat(F.lit("a/b"), (F.col("doc_id") % 3), F.lit("/p"), F.col("doc_id"))),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("?f1=1&f2=2&f3=3&f4=4"),
+        ).otherwise(F.lit("")),
+    )
+    score = url_spam_score_expr(url)
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        score.alias("spam_score"),
+        (score < 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def g1_pagerank(spark, sf_dir):
     """PageRank over a deterministic directed graph on 200 doc nodes
     (operators/graph.pagerank: power iteration, uniform teleport,
@@ -1210,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp2_dsir_topk": smp2_dsir_topk,
         "mix1_token_budget": mix1_token_budget,
         "g1_pagerank": g1_pagerank,
+        "f8_url_spam": f8_url_spam,
         "pp1_preprocess_pipeline": pp1_preprocess_pipeline,
         "t9_tfidf_topk": t9_tfidf_topk,
         "smp1_stratified_sample": smp1_stratified_sample,
@@ -1789,6 +1825,51 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(CAST(len(text) AS DOUBLE) / n_bpe_tokens, 6)
                     ELSE 0.0 END AS chars_per_token
         FROM c ORDER BY doc_id
+    """
+    # URL spam: identical synthesis, identical regex component parse
+    # (no parse_url), identical signal weights and rounding.
+    d["f8_url_spam"] = r"""
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+        u AS (SELECT doc_id,
+                 'http://'
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN 'cdn' || (doc_id % 97) || 'x'
+                         ELSE 'site' END
+                 || '.test/'
+                 || CASE WHEN doc_id % 9 = 0
+                         THEN 'cal/2026/01/cal/2026/01/d' || doc_id
+                         ELSE 'a/b' || (doc_id % 3) || '/p' || doc_id END
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN '?f1=1&f2=2&f3=3&f4=4' ELSE '' END AS url
+              FROM d),
+        p AS (SELECT doc_id, url,
+                 regexp_replace(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                   ':[0-9]+$', '') AS host,
+                 regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                 regexp_extract(url, '\?([^#]*)', 1) AS query
+              FROM u),
+        s AS (SELECT doc_id, url,
+                 CASE WHEN len(host) > 0
+                      THEN CAST(len(host) - len(regexp_replace(host,
+                               '[0-9]', '', 'g')) AS DOUBLE) / len(host)
+                      ELSE 0.0 END AS digit_frac,
+                 list_filter(string_split(path, '/'), x -> x <> '') AS segs,
+                 CASE WHEN query = '' THEN 0
+                      ELSE len(string_split(query, '&')) END AS n_params
+              FROM p),
+        sc AS (SELECT doc_id, url,
+                 round(digit_frac
+                   + 0.2 * greatest(len(segs) - 4, 0)
+                   + 0.25 * greatest(n_params - 2, 0)
+                   + (1.0 - CASE WHEN len(segs) > 0
+                                 THEN CAST(len(list_distinct(segs)) AS DOUBLE)
+                                      / len(segs)
+                                 ELSE 1.0 END), 6) AS spam_score
+              FROM s)
+        SELECT doc_id, url, spam_score, spam_score < 0.5 AS keep
+        FROM sc ORDER BY doc_id
     """
     # PageRank: identical edge synthesis, identical power iteration
     # (teleport + dangling redistribution) unrolled 3x as chained CTEs.

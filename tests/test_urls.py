@@ -170,3 +170,28 @@ def test_canonicalize_with_host_underscore_divergence(spark):
     # carries the pre-parse space encoding, as canonicalize_url_expr always has
     assert rows[1].url == "not%20a%20url"
     assert rows[1].host is None
+
+
+def test_url_spam_score_signals(spark):
+    from warcit_spark.functions.urls import url_spam_score_expr
+
+    def score(u):
+        return (
+            spark.createDataFrame([(u,)], "url string")
+            .select(url_spam_score_expr(F.col("url")).alias("s"))
+            .first()["s"]
+        )
+
+    assert score("http://site.test/a/b/p1") == 0.0
+    # digit-heavy host
+    assert score("http://a1b2c3.test/x") == pytest.approx(3 / 11, abs=1e-6)
+    # port digits never count toward the host digit fraction
+    assert score("http://host.test:8080/x") == 0.0
+    # repeated segments (calendar trap): 6 segs, 3 distinct
+    assert score("http://h.test/cal/2026/01/cal/2026/01") == pytest.approx(
+        0.2 * 2 + (1 - 3 / 6), abs=1e-6
+    )
+    # faceted explosion: 4 params -> 2 over the free allowance
+    assert score("http://h.test/x?a=1&b=2&c=3&d=4") == pytest.approx(0.5, abs=1e-6)
+    # unparseable strings score 0 (no host, no path, no query)
+    assert score("not a url") == 0.0

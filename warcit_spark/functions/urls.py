@@ -256,3 +256,61 @@ def salted_host_expr(host: Column, url: Column, n_salt: int = 16) -> Column:
     instead of melting one executor; AQE skew-join handles the residue.
     """
     return F.concat(host, F.lit("#"), F.pmod(F.hash(url), F.lit(n_salt)).cast("string"))
+
+
+# ------------------------------------------------------------------ URL spam
+# Regex-parsed components (NOT try_parse_url) so an oracle engine without
+# Spark's parse_url can replay the byte-identical parse; patterns are in
+# the Java-regex/RE2 common subset (functions/html.py stance).
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def url_spam_score_expr(url: Column) -> Column:
+    """Heuristic URL spam/trap score — the frontier-side quality gate a
+    web-scale crawl applies BEFORE spending a fetch (cf. the URL
+    filtering stage of the public CC-derived pipelines: spammy hosts are
+    digit-heavy, trap paths are deep and self-repeating, faceted-search
+    explosions carry many query params).  Pure row-local JVM exprs; the
+    score pushes into the frontier scan.
+
+    score = host_digit_frac                  (0..1)
+          + 0.2  * max(path_depth - 4, 0)    (deep-path penalty)
+          + 0.25 * max(n_params - 2, 0)      (faceted-explosion penalty)
+          + (1 - distinct_segment_ratio)     (calendar/session traps)
+
+    rounded to 6 decimals.  Thresholding is the caller's policy (the
+    fixture queries use score >= 0.5).
+    """
+    host = F.regexp_replace(
+        F.regexp_extract(url, _HOST_RE, 1), r":[0-9]+$", ""
+    )
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+
+    host_len = F.length(host)
+    digit_frac = F.when(
+        host_len > 0,
+        (host_len - F.length(F.regexp_replace(host, "[0-9]", "")))
+        .cast("double")
+        / host_len,
+    ).otherwise(F.lit(0.0))
+
+    segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    depth = F.size(segs)
+    distinct_ratio = F.when(
+        depth > 0, F.size(F.array_distinct(segs)).cast("double") / depth
+    ).otherwise(F.lit(1.0))
+
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+
+    return F.round(
+        digit_frac
+        + 0.2 * F.greatest(depth - 4, F.lit(0)).cast("double")
+        + 0.25 * F.greatest(n_params - 2, F.lit(0)).cast("double")
+        + (F.lit(1.0) - distinct_ratio),
+        6,
+    )
