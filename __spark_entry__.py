@@ -1191,6 +1191,185 @@ def a6_median(spark, sf_dir):
     )
 
 
+def f9_surt(spark, sf_dir):
+    """SURT canonical keys (functions/urls.surt_expr) — the CDX lookup
+    key pywb/OpenWayback index warcit-produced WARCs under: lowercase,
+    scheme/fragment/userinfo dropped, ``www``-label stripped, default
+    port dropped, host labels reversed comma-joined, query params
+    sorted.  Pure row-local JVM regex parse (engine-replayable); the key
+    pushes into the scan.  URLs are synthesized so every rule carries
+    data: mixed-case scheme+host, www/non-www, default/non-default
+    ports, empty paths, unsorted mixed-case queries, fragments."""
+    from warcit_spark.functions.urls import surt_expr
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".Example.COM"),
+        # %4==0 rows are even -> scheme http, so :80 is the DEFAULT port
+        # (dropped); %4==1 rows are odd -> https, so :8080 is kept
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/A/B"), F.col("doc_id").cast("string"))
+        ),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("?b=2&A=1")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id", url.alias("url"), surt_expr(url).alias("surt")
+    ).orderBy("doc_id")
+
+
+def g2_degree_stats(spark, sf_dir):
+    """Link-graph degree + reciprocity features (operators/graph.
+    degree_stats) over the same deterministic 200-node edge set as
+    g1_pagerank — out/in-degree via two map-side-combined groupBys,
+    reciprocity via one reversed-key self-semi-join; one row per node.
+    The formula graph contains genuine reciprocal pairs (e.g.
+    133<->134), so the recip path carries data."""
+    from warcit_spark.operators.graph import degree_stats
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    non_dangling = d.where(F.col("doc_id") % 11 != 0)
+    e1 = non_dangling.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 200).alias("dst"),
+    )
+    e2 = non_dangling.where(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    out = degree_stats(e1.unionByName(e2))
+    return out.select(F.col("node").alias("doc_id"), "out_deg", "in_deg",
+                      "recip_deg", "recip_ratio").orderBy("doc_id")
+
+
+def g3_hits(spark, sf_dir):
+    """HITS hubs-and-authorities (operators/graph.hits, Kleinberg 1999)
+    over the g1 edge set, 2 L1-normalized iterations — per half-step one
+    dst-(resp. src-)keyed shuffle plus a broadcast 1-row normalizer,
+    zero driver scalars.  The oracle unrolls the same two iterations as
+    chained CTEs."""
+    from warcit_spark.operators.graph import hits
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    non_dangling = d.where(F.col("doc_id") % 11 != 0)
+    e1 = non_dangling.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 200).alias("dst"),
+    )
+    e2 = non_dangling.where(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    h = hits(e1.unionByName(e2), iters=2)
+    return h.select(F.col("node").alias("doc_id"), "hub", "auth").orderBy("doc_id")
+
+
+def t18_blocklist(spark, sf_dir):
+    """C4-style blocklist gate (functions/text.blocklist_hits_expr,
+    Raffel et al. 2020: drop any page containing a listed word) — one
+    word-boundary case-insensitive JVM regex test per list word, summed;
+    row-local, the keep predicate pushes into the scan.  The list is
+    drawn from the fixture vocabulary so both branches carry data."""
+    from warcit_spark.functions.text import blocklist_hits_expr
+
+    words = ["slow", "stream", "vector"]
+    d = _t(spark, sf_dir, "documents")
+    hits_col = blocklist_hits_expr(F.col("text"), words)
+    return d.select(
+        "doc_id",
+        hits_col.alias("n_blocked"),
+        (hits_col == 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def cr1_recrawl_schedule(spark, sf_dir):
+    """Adaptive re-crawl scheduling (operators/recrawl.recrawl_schedule,
+    Cho & Garcia-Molina 2003): per-URL change rate from consecutive
+    fetch-digest flips (lag window, event_id tie-break), linear-blend
+    interval between 1h and 24h, next-due epoch.  One url-keyed shuffle
+    shared by the window and the aggregate.  Fetch history is derived
+    from the events fixture: page identity from user_id, digest from
+    event_type (so consecutive same-type fetches read 'unchanged')."""
+    from warcit_spark.operators.recrawl import recrawl_schedule
+
+    e = _t(spark, sf_dir, "events")
+    hist = e.select(
+        F.concat(
+            F.lit("http://site"),
+            (F.col("user_id") % 25).cast("string"),
+            F.lit(".test/page/"),
+            F.col("user_id").cast("string"),
+        ).alias("url"),
+        "ts",
+        F.col("event_type").alias("digest"),
+        "event_id",
+    )
+    return recrawl_schedule(
+        hist,
+        base_interval_sec=86400.0,
+        min_interval_sec=3600.0,
+        order_cols=("event_id",),
+    ).orderBy("url")
+
+
+def a7_anchor_text(spark, sf_dir):
+    """WAT-style anchor-text aggregation per target URL (operators/
+    links.anchor_text_agg): fused two-group regexp_extract_all +
+    arrays_zip extraction, the frontier's own resolve+canonicalize
+    exprs, then (target,text)->target map-side-combined groupBys — total
+    inlink anchors, distinct non-empty texts, modal anchor (ties
+    lexicographic).  Synthesized HTML carries absolute + root-relative +
+    non-crawlable (mailto) hrefs and an empty-text repeat anchor, so
+    every path carries data."""
+    from warcit_spark.operators.links import anchor_text_agg
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit('<html><body><a href="http://t'),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit('.test/p">read '),
+        F.col("lang"),
+        F.lit("</a>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<a href="/x'),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit('">more</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<a class="z" href="http://t'),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit('.test/p"></a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit('<a href="mailto:a@b">mail</a>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test/dir/page"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return anchor_text_agg(pages).orderBy("target_url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1257,6 +1436,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_running_total": w4_running_total,
         "t6_levenshtein": t6_levenshtein,
         "a6_median": a6_median,
+        "f9_surt": f9_surt,
+        "g2_degree_stats": g2_degree_stats,
+        "g3_hits": g3_hits,
+        "t18_blocklist": t18_blocklist,
+        "cr1_recrawl_schedule": cr1_recrawl_schedule,
+        "a7_anchor_text": a7_anchor_text,
     }
 
 
@@ -2173,6 +2358,223 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT a AS doc_id, least(a, min(b)) AS cluster
         FROM reach GROUP BY a ORDER BY doc_id
+    """
+    # SURT replay: identical synthesized URL, identical anchored-regex
+    # parse (lowered first, so the case-insensitive classes collapse),
+    # identical www/port/query rules (functions/urls.surt_expr).
+    d["f9_surt"] = r"""
+        WITH dd AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+        u AS (SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                || '://'
+                || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                || 'Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+                || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                         WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+                || (CASE WHEN doc_id % 5 = 0 THEN ''
+                         ELSE '/A/B' || CAST(doc_id AS VARCHAR) END)
+                || (CASE WHEN doc_id % 6 = 0 THEN '?b=2&A=1' ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0 THEN '#Frag' ELSE '' END)
+                AS url
+              FROM dd),
+        lu AS (SELECT doc_id, url,
+                      split_part(lower(trim(url)), '#', 1) AS b FROM u),
+        parts AS (SELECT doc_id, url,
+                regexp_extract(b, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+                regexp_replace(
+                  regexp_extract(b, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                  '^.*@', '') AS auth,
+                regexp_extract(
+                  b, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+                regexp_extract(b, '\?(.*)', 1) AS q
+              FROM lu),
+        p2 AS (SELECT doc_id, url, scheme, q,
+                regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+                regexp_replace(regexp_replace(auth, ':[0-9]+$', ''),
+                               '^www[0-9]*\.', '') AS host,
+                CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path
+              FROM parts),
+        p3 AS (SELECT doc_id, url, port, host, path, q,
+                CASE scheme WHEN 'http' THEN '80' WHEN 'https' THEN '443'
+                     WHEN 'ftp' THEN '21' WHEN 'ws' THEN '80'
+                     WHEN 'wss' THEN '443' ELSE NULL END AS dp
+               FROM p2)
+        SELECT doc_id, url,
+          CASE WHEN host <> '' THEN
+            array_to_string(list_reverse(string_split(host, '.')), ',')
+            || (CASE WHEN port <> '' AND port <> coalesce(dp, '')
+                     THEN ':' || port ELSE '' END)
+            || ')' || path
+            || (CASE WHEN q <> '' THEN
+                  '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+                ELSE '' END)
+          ELSE NULL END AS surt
+        FROM p3 ORDER BY doc_id
+    """
+    d["g2_degree_stats"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        eraw AS (
+          SELECT doc_id AS src, (doc_id * 7 + 3) % 200 AS dst FROM d
+          WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id, doc_id - 1 FROM d
+          WHERE doc_id % 11 <> 0 AND doc_id % 5 <> 0),
+        e AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+        o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src),
+        i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY dst),
+        r AS (SELECT e.src AS node, count(*) AS recip_deg
+              FROM e JOIN e e2 ON e.src = e2.dst AND e.dst = e2.src
+              GROUP BY e.src),
+        v AS (SELECT node FROM o UNION SELECT node FROM i)
+        SELECT v.node AS doc_id,
+               coalesce(o.out_deg, 0) AS out_deg,
+               coalesce(i.in_deg, 0) AS in_deg,
+               coalesce(r.recip_deg, 0) AS recip_deg,
+               CASE WHEN coalesce(o.out_deg, 0) > 0
+                    THEN round(CAST(coalesce(r.recip_deg, 0) AS DOUBLE)
+                               / o.out_deg, 9)
+                    ELSE 0.0 END AS recip_ratio
+        FROM v LEFT JOIN o USING (node) LEFT JOIN i USING (node)
+        LEFT JOIN r USING (node)
+        ORDER BY doc_id
+    """
+    # HITS: two L1-normalized iterations unrolled, auth half-step first —
+    # the exact arithmetic of operators/graph.hits.
+    d["g3_hits"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        eraw AS (
+          SELECT doc_id AS src, (doc_id * 7 + 3) % 200 AS dst FROM d
+          WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id, doc_id - 1 FROM d
+          WHERE doc_id % 11 <> 0 AND doc_id % 5 <> 0),
+        e AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+        v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT node, 1.0 AS h FROM v),
+        a1r AS (SELECT e.dst AS node, sum(h0.h) AS s
+                FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+        az1 AS (SELECT sum(s) AS z FROM a1r),
+        a1 AS (SELECT v.node, coalesce(a1r.s, 0.0) / az1.z AS a
+               FROM v LEFT JOIN a1r USING (node) CROSS JOIN az1),
+        h1r AS (SELECT e.src AS node, sum(a1.a) AS s
+                FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+        hz1 AS (SELECT sum(s) AS z FROM h1r),
+        h1 AS (SELECT v.node, coalesce(h1r.s, 0.0) / hz1.z AS h
+               FROM v LEFT JOIN h1r USING (node) CROSS JOIN hz1),
+        a2r AS (SELECT e.dst AS node, sum(h1.h) AS s
+                FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+        az2 AS (SELECT sum(s) AS z FROM a2r),
+        a2 AS (SELECT v.node, coalesce(a2r.s, 0.0) / az2.z AS a
+               FROM v LEFT JOIN a2r USING (node) CROSS JOIN az2),
+        h2r AS (SELECT e.src AS node, sum(a2.a) AS s
+                FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+        hz2 AS (SELECT sum(s) AS z FROM h2r),
+        h2 AS (SELECT v.node, coalesce(h2r.s, 0.0) / hz2.z AS h
+               FROM v LEFT JOIN h2r USING (node) CROSS JOIN hz2)
+        SELECT v.node AS doc_id, round(h2.h, 9) AS hub, round(a2.a, 9) AS auth
+        FROM v JOIN h2 USING (node) JOIN a2 USING (node)
+        ORDER BY doc_id
+    """
+    d["t18_blocklist"] = r"""
+        WITH b AS (
+          SELECT doc_id,
+                 (CAST(regexp_matches(text, '(?i)\bslow\b') AS INT)
+                  + CAST(regexp_matches(text, '(?i)\bstream\b') AS INT)
+                  + CAST(regexp_matches(text, '(?i)\bvector\b') AS INT))
+                 AS n_blocked
+          FROM documents)
+        SELECT doc_id, n_blocked, n_blocked = 0 AS keep
+        FROM b ORDER BY doc_id
+    """
+    # Recrawl: identical lag window (event_id tie-break), identical
+    # linear blend on the ROUNDED rate, floor(epoch) = Spark's
+    # truncating unix_timestamp for post-1970 stamps.
+    d["cr1_recrawl_schedule"] = """
+        WITH h AS (
+          SELECT 'http://site' || CAST(user_id % 25 AS VARCHAR)
+                 || '.test/page/' || CAST(user_id AS VARCHAR) AS url,
+                 ts, event_type AS digest, event_id
+          FROM events),
+        c AS (
+          SELECT url, ts,
+                 CASE WHEN lag(digest) OVER w IS NOT NULL
+                           AND digest <> lag(digest) OVER w
+                      THEN 1 ELSE 0 END AS chg
+          FROM h WINDOW w AS (PARTITION BY url ORDER BY ts, event_id)),
+        p AS (SELECT url, count(*) AS n_fetches,
+                     CAST(sum(chg) AS BIGINT) AS n_changes,
+                     max(ts) AS last_ts
+              FROM c GROUP BY url),
+        q AS (SELECT url, n_fetches, n_changes, last_ts,
+                round(CASE WHEN n_fetches > 1
+                           THEN CAST(n_changes AS DOUBLE) / (n_fetches - 1)
+                           ELSE 0.0 END, 6) AS change_rate
+              FROM p),
+        r AS (SELECT url, n_fetches, n_changes, change_rate, last_ts,
+                round(86400.0 - (86400.0 - 3600.0) * change_rate, 6)
+                  AS recrawl_interval_sec
+              FROM q)
+        SELECT url, n_fetches, n_changes, change_rate, recrawl_interval_sec,
+               round(CAST(floor(epoch(last_ts)) AS DOUBLE)
+                     + recrawl_interval_sec, 6) AS next_due_epoch
+        FROM r ORDER BY url
+    """
+    # Anchor-text: identical synthesized HTML, identical anchor regex
+    # (groups unnested in parallel = arrays_zip), resolution replayed by
+    # the synthesis formula (absolute kept, other-scheme/empty NULL,
+    # root-relative rebased on the page host), canonicalization is
+    # identity on already-canonical targets (fast path), same
+    # whitespace-collapse + modal-anchor tie-break.
+    d["a7_anchor_text"] = r"""
+        WITH dd AS (SELECT doc_id, lang FROM documents WHERE doc_id < 300),
+        syn AS (SELECT doc_id,
+          '<html><body><a href="http://t' || CAST(doc_id % 20 AS VARCHAR)
+          || '.test/p">read ' || lang || '</a>'
+          || (CASE WHEN doc_id % 3 = 0 THEN
+                '<a href="/x' || CAST(doc_id % 5 AS VARCHAR) || '">more</a>'
+              ELSE '' END)
+          || (CASE WHEN doc_id % 4 = 0 THEN
+                '<a class="z" href="http://t' || CAST(doc_id % 20 AS VARCHAR)
+                || '.test/p"></a>'
+              ELSE '' END)
+          || (CASE WHEN doc_id % 5 = 0 THEN
+                '<a href="mailto:a@b">mail</a>'
+              ELSE '' END)
+          || '</body></html>' AS html
+          FROM dd),
+        ex AS (SELECT doc_id,
+          unnest(regexp_extract_all(html,
+            '<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+          unnest(regexp_extract_all(html,
+            '<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS txt
+          FROM syn),
+        res AS (SELECT
+          CASE WHEN regexp_matches(href, '^https?://') THEN href
+               WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                 THEN NULL
+               WHEN href = '' THEN NULL
+               WHEN href LIKE '/%' THEN
+                 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.test' || href
+               ELSE NULL END AS target_url,
+          trim(regexp_replace(txt, '\s+', ' ', 'g')) AS anchor
+          FROM ex),
+        pt AS (SELECT target_url, anchor, count(*) AS c
+               FROM res WHERE target_url IS NOT NULL
+               GROUP BY target_url, anchor),
+        top AS (SELECT target_url, anchor FROM (
+                  SELECT target_url, anchor,
+                         row_number() OVER (PARTITION BY target_url
+                           ORDER BY c DESC, anchor ASC) AS rn
+                  FROM pt WHERE anchor <> '') WHERE rn = 1),
+        agg AS (SELECT target_url,
+                       CAST(sum(c) AS BIGINT) AS n_anchors,
+                       count(CASE WHEN anchor <> '' THEN 1 END)
+                         AS n_unique_texts
+                FROM pt GROUP BY target_url)
+        SELECT agg.target_url, agg.n_anchors, agg.n_unique_texts,
+               top.anchor AS top_anchor
+        FROM agg LEFT JOIN top USING (target_url)
+        ORDER BY target_url
     """
     return d
 

@@ -152,3 +152,49 @@ def test_pagerank_matches_python_twin(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
     # the hub (node 0: three in-edges) outranks the dangling leaf
     assert got[0] > got[6]
+
+
+def test_degree_stats_counts_and_reciprocity(spark):
+    from warcit_spark.operators.graph import degree_stats
+
+    # 1<->2 reciprocal; 1->3; 3->4; dup edge + self-loop must be ignored
+    edges = [(1, 2), (2, 1), (1, 3), (3, 4), (1, 3), (5, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.out_deg, r.in_deg, r.recip_deg, r.recip_ratio)
+           for r in degree_stats(df).collect()}
+    assert got == {
+        1: (2, 1, 1, 0.5),
+        2: (1, 1, 1, 1.0),
+        3: (1, 1, 0, 0.0),
+        4: (0, 1, 0, 0.0),
+    }
+
+
+def test_hits_matches_python_twin(spark):
+    from warcit_spark.operators.graph import hits
+
+    # hub 0 points at 1,2,3; 1,2 also point at 3 (3 = authority)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 3), (2, 3), (3, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, iters=2).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    hub = {v: 1.0 for v in nodes}
+    auth = {}
+    for _ in range(2):
+        a = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            a[d] += hub[s]
+        z = sum(a.values())
+        auth = {v: a[v] / z for v in nodes}
+        h = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            h[s] += auth[d]
+        z = sum(h.values())
+        hub = {v: h[v] / z for v in nodes}
+    for v in nodes:
+        assert got[v][0] == pytest.approx(round(hub[v], 9), abs=2e-9), v
+        assert got[v][1] == pytest.approx(round(auth[v], 9), abs=2e-9), v
+    # node 3 is the authority, node 0 the hub
+    assert max(nodes, key=lambda v: got[v][1]) == 3
+    assert max(nodes, key=lambda v: got[v][0]) == 0

@@ -417,3 +417,36 @@ def test_transclusion_formats_order_deterministic(spark):
     fmts = _json.loads(payloads.pop())["formats"]
     assert [f.get("name") for f in fmts] == ["webm", "mp4", None]  # file order, orig last
     assert all("_seq" not in f for f in fmts)
+
+
+def test_anchor_text_agg_modal_and_counts(spark):
+    from warcit_spark.operators.links import anchor_text_agg
+
+    def page(url, html):
+        return (url, html.encode())
+
+    rows = [
+        # two pages link to /t with text "News"; one with "news items  x"
+        page("http://a.test/p1",
+             '<a href="http://t.test/x">News</a>'
+             '<a href="/local">here</a>'),
+        page("http://a.test/p2",
+             '<a class="c" href="http://t.test/x">News</a>'
+             '<a href="http://t.test/x">news   items</a>'
+             '<a href="http://t.test/x"></a>'                # empty text
+             '<a href="http://t.test/x"><b>n</b></a>'        # nested: regex
+             '<a href="mailto:x@y">mail</a>'),               # path skips it
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.target_url: r for r in anchor_text_agg(df).collect()}
+
+    t = got["http://t.test/x"]
+    # 4 inlink anchors (incl. the empty-text nested one)
+    assert t.n_anchors == 4
+    # distinct non-empty texts: "News", "news items" (whitespace collapsed)
+    assert t.n_unique_texts == 2
+    assert t.top_anchor == "News"  # count 2 beats 1
+
+    loc = got["http://a.test/local"]  # root-relative resolved + canonical
+    assert (loc.n_anchors, loc.top_anchor) == (1, "here")
+    assert "mailto:x@y" not in got and len(got) == 2

@@ -202,3 +202,57 @@ def test_exact_substring_spans_golden(spark):
         (1, 3, 6, 4, 1),
         (3, 1, 8, 8, 2),
     }
+
+
+def test_blocklist_hits(spark):
+    from warcit_spark.functions.text import blocklist_hits_expr
+
+    df = spark.createDataFrame(
+        [
+            ("the SLOW stream runs", 2),     # case-insensitive, two words
+            ("slowly streaming vectors", 0),  # word boundaries: no substring hits
+            ("vector", 1),
+            ("clean text", 0),
+        ],
+        "text string, want int",
+    )
+    got = df.select(
+        blocklist_hits_expr(F.col("text"), ["slow", "stream", "vector"]).alias("n"),
+        "want",
+    ).collect()
+    assert all(r.n == r.want for r in got)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        blocklist_hits_expr(F.col("text"), [])
+    with _pytest.raises(ValueError):
+        blocklist_hits_expr(F.col("text"), ["bad-word"])
+
+
+def test_recrawl_schedule_rates_and_bounds(spark):
+    from warcit_spark.operators.recrawl import recrawl_schedule
+
+    rows = [
+        # url, ts, digest: a flips every fetch, b never, c single fetch
+        ("a", "2024-01-01 00:00:00", "x1"),
+        ("a", "2024-01-02 00:00:00", "x2"),
+        ("a", "2024-01-03 00:00:00", "x3"),
+        ("b", "2024-01-01 00:00:00", "y"),
+        ("b", "2024-01-02 00:00:00", "y"),
+        ("c", "2024-01-05 00:00:00", "z"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts string, digest string").select(
+        "url", F.col("ts").cast("timestamp").alias("ts"), "digest"
+    )
+    out = {r.url: r for r in recrawl_schedule(df).collect()}
+    assert (out["a"].n_fetches, out["a"].n_changes, out["a"].change_rate) == (3, 2, 1.0)
+    assert out["a"].recrawl_interval_sec == 3600.0   # hottest -> min interval
+    assert (out["b"].n_changes, out["b"].change_rate) == (0, 0.0)
+    assert out["b"].recrawl_interval_sec == 86400.0  # static -> max interval
+    assert out["c"].change_rate == 0.0               # single fetch: no evidence
+    # next_due = epoch(last fetch) + interval
+    import datetime as _dt
+
+    last_a = _dt.datetime(2024, 1, 3, tzinfo=_dt.timezone.utc).timestamp()
+    assert out["a"].next_due_epoch == last_a + 3600.0

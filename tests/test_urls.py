@@ -195,3 +195,26 @@ def test_url_spam_score_signals(spark):
     assert score("http://h.test/x?a=1&b=2&c=3&d=4") == pytest.approx(0.5, abs=1e-6)
     # unparseable strings score 0 (no host, no path, no query)
     assert score("not a url") == 0.0
+
+
+def test_surt_rules(spark):
+    from warcit_spark.functions.urls import surt_expr
+
+    cases = [
+        # lowercase + www strip + default port drop + query sort + fragment
+        ("http://www.Example.COM:80/A/b?b=2&a=1#f", "com,example)/a/b?a=1&b=2"),
+        # non-default port kept; www2 label stripped
+        ("https://WWW2.Site.org:8080/x", "org,site:8080)/x"),
+        # empty path -> '/', userinfo dropped
+        ("http://user:pw@Host.test", "test,host)/"),
+        # https default port dropped
+        ("https://a.b.c:443/", "c,b,a)/"),
+        # single-label host, trailing '?' -> no query part
+        ("http://localhost/p?", "localhost)/p"),
+        # not a URL -> NULL
+        ("no scheme here", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.s for r in df.select(surt_expr("url").alias("s")).collect()]
+    assert got == [want for _, want in cases]

@@ -409,3 +409,31 @@ def bpe_token_count_expr(text: Column) -> Column:
     """Count of BPE_ISH_PATTERN matches over the lowercased text — the
     pretokenizer-level token budget (whitespace never tokenizes)."""
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+# --------------------------------------------------------------- blocklist
+def blocklist_hits_expr(text: Column, words: list[str]) -> Column:
+    r"""Number of distinct blocklist words present in ``text`` — the
+    C4-style "bad words" gate (Raffel et al. 2020 drop any page containing
+    a listed word; public CC-derived pipelines all carry a variant).
+
+    Word-boundary, case-insensitive.  One compiled ``(?i)\b<word>\b``
+    test per word, summed — for the typical few-hundred-word list this
+    stays a flat chain of JVM regex exprs inside whole-stage codegen
+    (each list word is its own alternation-free pattern, so Java-regex
+    and RE2 agree trivially and an oracle replays it term by term).
+    Words must be plain ``[a-z]+`` tokens; anything else raises — the
+    blocklist is a config artifact, not untrusted data.
+
+    Scale shape: row-local, no shuffle; the derived boolean
+    (``hits == 0``) pushes into the scan like every other quality gate.
+    """
+    if not words:
+        raise ValueError("blocklist is empty")
+    for w in words:
+        if not w.isascii() or not w.isalpha() or w != w.lower():
+            raise ValueError(f"blocklist words must be plain [a-z]+ tokens: {w!r}")
+    total = F.lit(0)
+    for w in words:
+        total = total + text.rlike(r"(?i)\b" + w + r"\b").cast("int")
+    return total

@@ -314,3 +314,57 @@ def url_spam_score_expr(url: Column) -> Column:
         + (F.lit(1.0) - distinct_ratio),
         6,
     )
+
+
+# ------------------------------------------------------------------- SURT
+def surt_expr(url: Column) -> Column:
+    r"""Sort-friendly URI Reordering Transform — the CDX lookup key of
+    the web-archive ecosystem the reference lives in (pywb / OpenWayback
+    index WARCs produced by warcit under SURT keys; cf. the IA ``surt``
+    library the webrecorder stack canonicalizes with).
+
+        http://www.Example.com:8080/A/b?b=2&a=1#f
+            -> com,example:8080)/a/b?a=1&b=2
+
+    Wayback-canon semantics: lowercase everything; drop scheme, fragment
+    and userinfo; strip one leading ``www`` / ``www<digits>`` host label;
+    drop the scheme's default port, keep any other; reverse the host
+    labels comma-joined; empty path -> ``/``; sort query params.  A CDX
+    key exists only for fetchable URLs, so anything without a
+    ``scheme://host`` shape yields NULL (the caller filters, matching the
+    frontier's explicit-filter convention).
+
+    Pure row-local JVM exprs over the same anchored Java-regex/RE2
+    common-subset parse as ``url_spam_score_expr`` (NOT try_parse_url),
+    so an oracle engine can replay the byte-identical key; the expr
+    pushes into the frontier/CDX scan.
+    """
+    u = F.lower(F.trim(url))
+    u = F.substring_index(u, "#", 1)
+    scheme = F.regexp_extract(u, _SCHEME_RE, 1)
+    auth = F.substring_index(F.regexp_extract(u, _HOST_RE, 1), "@", -1)
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    host = F.regexp_replace(auth, r":\d+$", "")
+    host = F.regexp_replace(host, r"^www\d*\.", "")
+
+    default_port = F.element_at(
+        F.create_map(*[F.lit(x) for kv in DEFAULT_PORTS.items() for x in kv]),
+        scheme,
+    )
+    port_part = F.when(
+        (port != "") & (port != F.coalesce(default_port, F.lit(""))),
+        F.concat(F.lit(":"), port),
+    ).otherwise(F.lit(""))
+
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?(.*)", 1)
+    query_part = F.when(
+        query != "", F.concat(F.lit("?"), _sorted_query_expr(query))
+    ).otherwise(F.lit(""))
+
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.when(
+        host != "",
+        F.concat(rev_host, port_part, F.lit(")"), path, query_part),
+    ).otherwise(F.lit(None).cast("string"))

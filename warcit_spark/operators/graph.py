@@ -238,3 +238,141 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return rank.select("node", F.round("rank", 9).alias("rank"))
+
+
+def degree_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """First-order link-graph features per node — out-degree, in-degree,
+    and link reciprocity — the cheap signals a crawl prioritizer and a
+    link-spam classifier consume before anything iterative (reciprocal
+    link farms show recip_ratio ~1; genuine hubs are high out / low
+    recip).
+
+    Scale shape: the edge list is distinct-ed once, then TWO map-side-
+    combined groupBys (src-keyed, dst-keyed) and ONE self-semi-join on
+    the reversed key for reciprocity — every shuffle is keyed on a node
+    id, no window, no collect.  Output grain: one row per node.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        e.join(rev, on=["src", "dst"], how="left_semi")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("recip_deg"))
+    )
+    return (
+        out_deg.join(in_deg, on="node", how="full")
+        .join(recip, on="node", how="full")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("recip_deg", F.lit(0)).alias("recip_deg"),
+            F.when(
+                F.coalesce("out_deg", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("recip_deg", F.lit(0)).cast("double")
+                    / F.col("out_deg"),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recip_ratio"),
+        )
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list — the classic complement to PageRank for crawl seeding: high-hub
+    pages are the link indexes worth re-crawling for discovery, high-
+    authority pages are the content worth fetching first.
+
+    Per iteration: auth(v) = sum of hub over in-edges, L1-normalized;
+    then hub(u) = sum of auth over out-edges, L1-normalized.  L1 (not
+    the textbook L2) keeps every arithmetic step a sum/divide an oracle
+    SQL engine replays bit-for-bit modulo the final round; ordering and
+    ratios are unaffected (normalization choice only rescales).
+
+    Scale shape mirrors ``pagerank`` above: per half-step ONE shuffle
+    keyed by dst (resp. src) with map-side combine, plus a broadcast
+    1-row frame for the normalizing sum — no driver scalars, no collect;
+    lineage truncated per iteration (localCheckpoint).  Fixed ``iters``:
+    HITS converges to the principal eigenvector geometrically; 2-5
+    iterations is the practical seeding regime.
+
+    Returns (node, hub, auth) rounded to 9 decimals.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = v.select("node", F.lit(1.0).alias("hub"))
+    auth = v.select("node", F.lit(0.0).alias("auth"))
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_a"))
+            .withColumnRenamed("dst", "node")
+        )
+        a_sum = a_raw.agg(F.sum("_a").alias("_z"))
+        auth = (
+            v.join(a_raw, on="node", how="left")
+            .crossJoin(F.broadcast(a_sum))
+            .select(
+                "node",
+                (F.coalesce(F.col("_a"), F.lit(0.0)) / F.col("_z")).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("_h"))
+            .withColumnRenamed("src", "node")
+        )
+        h_sum = h_raw.agg(F.sum("_h").alias("_z"))
+        hub = (
+            v.join(h_raw, on="node", how="left")
+            .crossJoin(F.broadcast(h_sum))
+            .select(
+                "node",
+                (F.coalesce(F.col("_h"), F.lit(0.0)) / F.col("_z")).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        hub.join(auth, on="node")
+        .select(
+            "node",
+            F.round("hub", 9).alias("hub"),
+            F.round("auth", 9).alias("auth"),
+        )
+    )

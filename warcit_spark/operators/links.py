@@ -159,3 +159,72 @@ def extract_links_batch(
     return exploded.select("url", *carry, link.alias("link")).where(
         F.col("link").isNotNull()
     )
+
+
+# ------------------------------------------------------------- anchor text
+# anchor pattern: href + the a-element's DIRECT text ('[^<]*</a>' demands
+# text-only content, so anchors wrapping nested markup are skipped by this
+# regex hot path entirely — the full-fidelity parse is the lxml batch twin
+# `extract_links_batch`; directly-empty anchors DO match and count as
+# textless inlinks)
+ANCHOR_PATTERN = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def anchor_text_agg(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Aggregate anchor text per TARGET url — the WAT-style inlink
+    feature search and LLM pipelines mine (anchor text describes the
+    page better than the page does; cf. Common Crawl WAT consumers and
+    anchor-augmented pretraining sets).
+
+    Per target: total inlink anchors, distinct non-empty anchor texts,
+    and the modal anchor (most frequent; ties broken lexicographically —
+    deterministic under any partitioning).
+
+    Scale shape: extraction is TWO ``regexp_extract_all`` over the SAME
+    pattern (groups 1/2 — indexes align by construction) fused in one
+    row-local projection, ``arrays_zip`` + one explode; resolution and
+    canonicalization are the frontier's own exprs (links stay joinable
+    against the URL-seen set); then a (target, text) groupBy feeding a
+    target groupBy — both map-side combined, no window over the full
+    explode.  Anchor dedup-per-page is NOT applied (repeat anchors are
+    signal), matching WAT semantics.
+    """
+    from warcit_spark.functions.urls import canonicalize_url_expr
+
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html_txt, F.lit(ANCHOR_PATTERN), 1).alias("href"),
+        F.regexp_extract_all(html_txt, F.lit(ANCHOR_PATTERN), 2).alias("text"),
+    )
+    exploded = pages.select(
+        F.col(url_col).alias("url"), F.explode(pairs).alias("_p")
+    ).select(
+        "url",
+        F.col("_p")["href"].alias("_href"),
+        F.trim(
+            F.regexp_replace(F.col("_p")["text"], r"\s+", " ")
+        ).alias("anchor"),
+    )
+    target = canonicalize_url_expr(
+        resolve_link_expr(F.col("url"), F.col("_href"))
+    )
+    per_text = (
+        exploded.select(target.alias("target_url"), "anchor")
+        .where(F.col("target_url").isNotNull())
+        .groupBy("target_url", "anchor")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    nonempty = F.col("anchor") != ""
+    return per_text.groupBy("target_url").agg(
+        F.sum("_c").alias("n_anchors"),
+        F.count(F.when(nonempty, 1)).alias("n_unique_texts"),
+        # modal non-empty anchor: max count, ties -> lexicographic min
+        F.min_by(
+            F.when(nonempty, F.col("anchor")),
+            F.when(nonempty, F.struct((-F.col("_c")).alias("nc"), "anchor")),
+        ).alias("top_anchor"),
+    )
