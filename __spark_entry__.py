@@ -1370,6 +1370,23 @@ def a7_anchor_text(spark, sf_dir):
     return anchor_text_agg(pages).orderBy("target_url")
 
 
+def t19_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training (operators/bpe.py, Sennrich et al.
+    2016): 4 merges over the documents corpus — corpus collapses to the
+    distinct-word table in ONE map-side-combined shuffle, then per merge
+    one pair-keyed groupBy + TakeOrdered(1) + broadcast 1-row winner and
+    a row-local greedy-leftmost fold fusion (zero driver scalars).  The
+    oracle replays each iteration: same pair counts from the
+    space-joined symbol string, same (count desc, pair asc) arg-max,
+    fusion as a recursive-CTE fixpoint of non-overlapping replace
+    (equivalent to the greedy leftmost fold: merged tokens are atomic,
+    so passes only ever consume original-symbol pairs)."""
+    from warcit_spark.operators.bpe import bpe_train_merges
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return bpe_train_merges(d, n_merges=4).orderBy("step")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1442,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t18_blocklist": t18_blocklist,
         "cr1_recrawl_schedule": cr1_recrawl_schedule,
         "a7_anchor_text": a7_anchor_text,
+        "t19_bpe_merges": t19_bpe_merges,
     }
 
 
@@ -2576,7 +2594,60 @@ def oracle_sql() -> dict[str, str]:
         FROM agg LEFT JOIN top USING (target_url)
         ORDER BY target_url
     """
+    d["t19_bpe_merges"] = _t19_oracle_sql(n_merges=4)
     return d
+
+
+def _t19_oracle_sql(n_merges: int) -> str:
+    """DuckDB twin of t19 (BPE merges), iterations unrolled
+    programmatically (the g1/x7 convention).  Symbols ride as a
+    space-padded string; fusion = recursive-CTE fixpoint of
+    non-overlapping replace, equivalent to the engine's greedy leftmost
+    fold because merged tokens are atomic (see t19's docstring)."""
+    parts = [
+        f"""
+        WITH RECURSIVE
+        vocab AS (
+          SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest({_WORDS_SQL}) AS w
+            FROM documents WHERE doc_id < 300) GROUP BY w),
+        sym_0 AS (SELECT word, cnt,
+          ' ' || array_to_string(list_append(string_split(word, ''), '</w>'),
+                                 ' ') || ' ' AS s
+          FROM vocab)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"sym_{i - 1}"
+        rep = (
+            "replace(f.s, ' ' || b.a || ' ' || b.b || ' ',"
+            " ' ' || b.a || b.b || ' ')"
+        )
+        parts.append(
+            f"""
+        pr_{i} AS (
+          SELECT p[1] AS a, p[2] AS b, CAST(sum(cnt) AS BIGINT) AS c
+          FROM (SELECT cnt, unnest(list_zip(toks, toks[2:])) AS p
+                FROM (SELECT cnt, string_split(trim(s), ' ') AS toks
+                      FROM {prev}))
+          WHERE p[2] IS NOT NULL GROUP BY 1, 2),
+        best_{i} AS (
+          SELECT a, b, c FROM pr_{i}
+          ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+        fix_{i}(word, cnt, s) AS (
+          SELECT word, cnt, s FROM {prev}
+          UNION
+          SELECT f.word, f.cnt, {rep}
+          FROM fix_{i} f, best_{i} b WHERE {rep} <> f.s),
+        sym_{i} AS (
+          SELECT f.word, f.cnt, f.s FROM fix_{i} f, best_{i} b
+          WHERE {rep} = f.s)"""
+        )
+    selects = "\n        UNION ALL ".join(
+        f"SELECT {i} AS step, a AS sym_left, b AS sym_right,"
+        f" c AS pair_count FROM best_{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ",".join(parts) + f"\n        {selects}\n        ORDER BY step"
 
 
 def _oracle_sql_base() -> dict[str, str]:

@@ -256,3 +256,36 @@ def test_recrawl_schedule_rates_and_bounds(spark):
 
     last_a = _dt.datetime(2024, 1, 3, tzinfo=_dt.timezone.utc).timestamp()
     assert out["a"].next_due_epoch == last_a + 3600.0
+
+
+def test_bpe_train_merges_matches_python_twin(spark):
+    from warcit_spark.operators.bpe import (
+        bpe_train_merges,
+        bpe_train_merges_py,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new wider wide",
+        "the newer the lower, the wider!",  # punctuation splits words
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.step, r.sym_left, r.sym_right, r.pair_count)
+        for r in bpe_train_merges(df, n_merges=6).orderBy("step").collect()
+    ]
+    assert got == bpe_train_merges_py(texts, 6)
+    # merged symbols compose: later merges may consume earlier ones
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in got[1:])
+
+
+def test_bpe_early_stop_when_no_pairs_left(spark):
+    from warcit_spark.operators.bpe import bpe_train_merges
+
+    # single 1-char word: only pair is (a, </w>); after merging it there
+    # is nothing left — asking for 5 merges must yield exactly 1
+    df = spark.createDataFrame([("a a a",)], "text string")
+    got = bpe_train_merges(df, n_merges=5).collect()
+    assert [(r.step, r.sym_left, r.sym_right, r.pair_count) for r in got] == [
+        (1, "a", "</w>", 3)
+    ]

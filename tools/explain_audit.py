@@ -42,6 +42,13 @@ AUDIT = [
     "t17_html_text",
     "smp2_dsir_topk",
     "mix1_token_budget",
+    "f9_surt",
+    "g2_degree_stats",
+    "g3_hits",
+    "t18_blocklist",
+    "cr1_recrawl_schedule",
+    "a7_anchor_text",
+    "t19_bpe_merges",
 ]
 
 SMELLS = [
