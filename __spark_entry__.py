@@ -1387,6 +1387,25 @@ def t19_bpe_merges(spark, sf_dir):
     return bpe_train_merges(d, n_merges=4).orderBy("step")
 
 
+def a8_host_quality(spark, sf_dir):
+    """Domain-reputation aggregate (operators/host_stats.
+    host_quality_shrunk): per-host doc count, raw mean quality, and the
+    empirical-Bayes shrunk mean (prior weight 25 pseudo-docs toward the
+    corpus mean) — the host-tier gate of CC-derived pipelines.  One
+    corpus groupBy, one host-cardinality aggregation, 1-row global as a
+    broadcast frame; per-doc scores summed as DECIMAL(18,6) so the whole
+    thing is bit-reproducible and SQL-replayed exactly.  `source` stands
+    in as the host key on the fixture."""
+    from warcit_spark.functions.text import quality_score_expr
+    from warcit_spark.operators.host_stats import host_quality_shrunk
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("host"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    )
+    return host_quality_shrunk(d, prior_weight=25.0).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1460,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cr1_recrawl_schedule": cr1_recrawl_schedule,
         "a7_anchor_text": a7_anchor_text,
         "t19_bpe_merges": t19_bpe_merges,
+        "a8_host_quality": a8_host_quality,
     }
 
 
@@ -2595,6 +2615,46 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY target_url
     """
     d["t19_bpe_merges"] = _t19_oracle_sql(n_merges=4)
+    # Host quality: t2's exact per-doc quality formula, summed as
+    # DECIMAL(18,6) (order-independent = engine-exact), then the same
+    # shrinkage arithmetic in the same operation order.
+    d["a8_host_quality"] = f"""
+        WITH b AS (
+          SELECT doc_id, source, text,
+                 {_WORDS_SQL} AS words,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+                 len(text) AS nch,
+                 len(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS nch_nopunct
+          FROM documents),
+        r AS (
+          SELECT source,
+                 CASE WHEN len(words) > 0
+                      THEN CAST(len(list_filter(words, w -> list_contains({_EN_STOPWORDS_SQL}, w))) AS DOUBLE) / len(words)
+                      ELSE 0.0 END AS sw_ratio,
+                 CASE WHEN nch > 0
+                      THEN CAST(nch - nch_nopunct AS DOUBLE) / nch
+                      ELSE 0.0 END AS p_ratio,
+                 ntok
+          FROM b),
+        q AS (
+          SELECT source AS host,
+                 CAST(round(least(1.0, CAST(ntok AS DOUBLE)/100.0)
+                            * least(1.0, 4.0*sw_ratio)
+                            * (1.0 - p_ratio), 6) AS DECIMAL(18,6)) AS quality
+          FROM r),
+        per AS (SELECT host, count(*) AS n_docs, sum(quality) AS sum_q
+                FROM q GROUP BY host),
+        g AS (SELECT sum(sum_q) AS gs, CAST(sum(n_docs) AS BIGINT) AS gn
+              FROM per)
+        SELECT host, n_docs,
+               round(CAST(sum_q AS DOUBLE) / n_docs, 6) AS mean_quality,
+               round((CAST(sum_q AS DOUBLE)
+                      + 25.0 * (CAST(gs AS DOUBLE) / gn))
+                     / (n_docs + 25.0), 6) AS shrunk_quality
+        FROM per CROSS JOIN g
+        ORDER BY host
+    """
     return d
 
 

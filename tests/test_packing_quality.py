@@ -289,3 +289,22 @@ def test_bpe_early_stop_when_no_pairs_left(spark):
     assert [(r.step, r.sym_left, r.sym_right, r.pair_count) for r in got] == [
         (1, "a", "</w>", 3)
     ]
+
+
+def test_host_quality_shrunk_math(spark):
+    from warcit_spark.operators.host_stats import host_quality_shrunk
+
+    rows = [
+        ("big", 0.8), ("big", 0.9), ("big", 1.0), ("big", 0.9),
+        ("tiny", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "host string, quality double")
+    out = {r.host: r for r in host_quality_shrunk(df, prior_weight=2.0).collect()}
+    gm = 3.6 / 5  # global mean = 0.72
+    assert out["big"].n_docs == 4
+    assert out["big"].mean_quality == 0.9
+    assert out["big"].shrunk_quality == round((3.6 + 2 * gm) / 6, 6)
+    # tiny host (one awful doc) is pulled strongly toward the prior
+    assert out["tiny"].mean_quality == 0.0
+    assert out["tiny"].shrunk_quality == round((0.0 + 2 * gm) / 3, 6)
+    assert out["tiny"].shrunk_quality > 0.4

@@ -180,3 +180,36 @@ def test_politeness_two_stage_equals_single_window(data):
     want = _pol_single_window(rows, host_budget)
     got = _pol_two_stage(rows, host_budget, salts.__getitem__)
     assert got == want
+
+
+# SURT twin properties (surt_expr parity with surt_py is pinned on a
+# combinatorial corpus in tests/test_urls.py)
+from warcit_spark.functions.urls import surt_py
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls())
+def test_surt_shape_and_rules(u):
+    s = surt_py(u)
+    if s is None:
+        return
+    assert "#" not in s and ")" in s
+    key, rest = s.split(")", 1)
+    assert key == key.lower() and not key.startswith("www")
+    # default ports never survive; non-default ones do
+    assert not (u.lower().startswith("http://") and key.endswith(":80"))
+    if "?" in rest:
+        qs = rest.split("?", 1)[1].split("&")
+        assert qs == sorted(qs)
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls())
+def test_surt_host_reversal_roundtrip(u):
+    s = surt_py(u)
+    if s is None:
+        return
+    key = s.split(")", 1)[0].split(":", 1)[0]
+    host = ".".join(reversed(key.split(",")))
+    # reversing back yields the www/port/userinfo-stripped lowered host
+    assert surt_py("http://" + host + "/") == key + ")/"

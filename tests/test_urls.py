@@ -218,3 +218,26 @@ def test_surt_rules(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.s for r in df.select(surt_expr("url").alias("s")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_surt_expr_matches_python_twin_corpus(spark):
+    """Combinatorial corpus over the property-test fragment sets: the JVM
+    expression and the pure-Python twin agree byte-for-byte, so the
+    hypothesis properties proved on the twin transfer to the expr."""
+    from warcit_spark.functions.urls import surt_expr, surt_py
+
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "www.ex.org", "WWW3.a.b.test", "single", "a_b.c"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b c", "/x/y/"]
+    queries = ["", "?b=2&A=1", "?z=1"]
+    frags = ["", "#F"]
+    corpus = [
+        f"{s}://{h}{p}{pa}{q}{f}"
+        for s in schemes for h in hosts for p in ports
+        for pa in paths for q in queries for f in frags
+    ] + ["not a url", "", "http://", "http://user:pw@H.test:21/x"]
+    df = spark.createDataFrame([(u,) for u in corpus], "url string")
+    got = [r.s for r in df.select(surt_expr("url").alias("s")).collect()]
+    want = [surt_py(u) for u in corpus]
+    assert got == want

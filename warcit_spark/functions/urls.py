@@ -368,3 +368,30 @@ def surt_expr(url: Column) -> Column:
         host != "",
         F.concat(rev_host, port_part, F.lit(")"), path, query_part),
     ).otherwise(F.lit(None).cast("string"))
+
+
+def surt_py(url: str) -> str | None:
+    """Pure-Python twin of :func:`surt_expr` (independent reimplementation
+    for tests/property pins — the canonicalize_urls_pandas convention).
+    Mirrors the expression semantics exactly: Java-regex-compatible
+    patterns on the lowered string, space-only trim."""
+    u = url.strip(" ").lower()
+    u = u.split("#", 1)[0]
+    m = re.match(r"^([a-z][a-z0-9+.\-]*)://", u)
+    scheme = m.group(1) if m else ""
+    m = re.match(r"^[a-z][a-z0-9+.\-]*://([^/?#]+)", u)
+    auth = (m.group(1) if m else "").split("@")[-1]
+    m = re.search(r":(\d+)$", auth)
+    port = m.group(1) if m else ""
+    host = re.sub(r":\d+$", "", auth)
+    host = re.sub(r"^www\d*\.", "", host)
+    if not host:
+        return None
+    dp = DEFAULT_PORTS.get(scheme, "")
+    port_part = ":" + port if port and port != dp else ""
+    m = re.match(r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", u)
+    path = (m.group(1) if m else "") or "/"
+    m = re.search(r"\?(.*)", u)
+    query = m.group(1) if m else ""
+    q_part = "?" + "&".join(sorted(query.split("&"))) if query else ""
+    return ",".join(reversed(host.split("."))) + port_part + ")" + path + q_part
