@@ -346,3 +346,54 @@ def test_parse_robots_txt_delay_only_and_agent_match(spark):
         ("a.test", "", True, 7.0),
         ("b.test", "", True, 1.0),
     }
+
+
+def test_pagerank_scores_drive_crawl_order(spark, fixture_dfs, tmp_path_factory):
+    """Composition the north-star describes: authority scores computed on
+    the engine's own link graph feed the frontier as seed priorities, and
+    the round-0 per-host fetch order follows them exactly."""
+    from warcit_spark.operators.graph import pagerank
+    from warcit_spark.operators.links import extract_links
+    from warcit_spark.plans.crawl import CrawlConfig, run_crawl
+    from warcit_spark.plans.state import CrawlState
+
+    pages, _seeds, robots = fixture_dfs
+    edges = extract_links(
+        pages.withColumn("priority", F.lit(0.0)), carry=()
+    ).select(F.col("url").alias("src"), F.col("link").alias("dst"))
+    pr = pagerank(edges, iters=3)
+
+    # every known page seeded with its pagerank as priority
+    seeds = pr.select(F.col("node").alias("url"), F.col("rank").alias("priority"))
+    state = CrawlState(str(tmp_path_factory.mktemp("pr_crawl")))
+    cfg = CrawlConfig(max_rounds=1, host_budget=5)
+    run_crawl(spark, state, pages, seeds, robots, cfg)
+
+    fetched = spark.read.parquet(f"{state.root}/fetched")
+    got = {
+        (r.host, r.rank_in_host): r.url
+        for r in fetched.select("host", "rank_in_host", "url").collect()
+    }
+    # the engine canonicalizes seeds and collapses collisions keeping the
+    # max priority — replay that collapse for the expected-score lookup
+    from warcit_spark.functions.urls import canonicalize_url_expr
+
+    prc = (
+        pr.select(canonicalize_url_expr(F.col("node")).alias("url"), "rank")
+        .groupBy("url")
+        .agg(F.max("rank").alias("rank"))
+    )
+    ranks = {r.url: r.rank for r in prc.collect()}
+    # within every host, fetch order must be non-increasing pagerank.
+    # Derived index-alias records (dir/ <-> dir/index.html revisits) ride
+    # in the fetched frame with urls that were never seeds — skip those;
+    # the check runs over the seeded urls' relative order.
+    by_host = {}
+    for (host, rk), url in got.items():
+        if url in ranks:
+            by_host.setdefault(host, []).append((rk, ranks[url]))
+    assert sum(len(v) for v in by_host.values()) >= 5, by_host
+    for host, lst in by_host.items():
+        lst.sort()
+        scores = [s for _, s in lst]
+        assert scores == sorted(scores, reverse=True), host
