@@ -387,3 +387,35 @@ def test_json_metadata_batch_array_and_nan_cells():
     out = json_metadata_batch(md)
     assert json.loads(out[0]) == {"name": "mp4", "tags": ["a", "b"]}
     assert json.loads(out[1]) == {"ratio": 1.5, "tags": [1, 2]}
+
+
+def test_scan_warc_source_roundtrip(spark, tmp_path):
+    """Distributed read-back of sink-written archives: one row per record,
+    typed header columns, payload bytes identical to the driver-side
+    reader; metadata-only projections never need payload."""
+    from warcit_spark.sources.warc import scan_warc
+
+    out = str(tmp_path / "warcs")
+    manifest = write_warc_files(
+        _records_df(spark).coalesce(1), out, gzip_records=True
+    ).collect()
+    got = (
+        scan_warc(spark, out)
+        .orderBy("warc_file", "record_idx")
+        .collect()
+    )
+    want = read_warc_records(manifest[0].path)
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        assert g.record_type == w["headers"]["WARC-Type"]
+        assert g.target_uri == w["headers"].get("WARC-Target-URI")
+        assert g.content_length == int(w["headers"]["Content-Length"])
+        assert bytes(g.payload) == w["payload"]
+    # record-level filter works without touching payloads
+    n = (
+        scan_warc(spark, out)
+        .where(F.col("record_type") == "resource")
+        .select("target_uri")
+        .count()
+    )
+    assert n == 1

@@ -248,12 +248,11 @@ def write_warcinfo_only(
     return path
 
 
-def read_warc_records(path: str) -> list[dict]:
-    """Minimal WARC reader for round-trip tests (gzip multi-member aware)."""
-    with open(path, "rb") as fh:
-        blob = fh.read()
-    if path.endswith(".gz"):
-        blob = gzip.decompress(blob)  # handles concatenated members
+def parse_warc_blob(blob: bytes) -> list[dict]:
+    """Parse a decompressed WARC/1.0 byte stream into
+    ``[{"headers": {...}, "payload": bytes}, ...]`` — the shared core of
+    the driver-side test reader below and the distributed source
+    (``sources/warc.scan_warc``)."""
     records = []
     i = 0
     while i < len(blob):
@@ -269,3 +268,12 @@ def read_warc_records(path: str) -> list[dict]:
         records.append({"headers": headers, "payload": payload})
         i = head_end + 4 + length + 4
     return records
+
+
+def read_warc_records(path: str) -> list[dict]:
+    """Minimal WARC reader for round-trip tests (gzip multi-member aware)."""
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    if path.endswith(".gz"):
+        blob = gzip.decompress(blob)  # handles concatenated members
+    return parse_warc_blob(blob)
