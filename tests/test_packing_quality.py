@@ -308,3 +308,30 @@ def test_host_quality_shrunk_math(spark):
     assert out["tiny"].mean_quality == 0.0
     assert out["tiny"].shrunk_quality == round((0.0 + 2 * gm) / 3, 6)
     assert out["tiny"].shrunk_quality > 0.4
+
+
+def test_bpe_encode_applies_trained_merges(spark):
+    from warcit_spark.operators.bpe import (
+        _encode_word,
+        bpe_encode,
+        bpe_train_merges,
+        bpe_train_merges_py,
+    )
+
+    texts = ["low lower lowest low low", "new newer newest new"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges = bpe_train_merges(df, n_merges=5)
+    out = {r.doc_id: r.bpe_tokens
+           for r in bpe_encode(df, merges, text_col="text").collect()}
+
+    ranks = {(a, b): s for s, a, b, _ in bpe_train_merges_py(texts, 5)}
+    import re
+    for i, t in enumerate(texts):
+        want = []
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if w:
+                want.extend(_encode_word(w, ranks))
+        assert out[i] == want, i
+    # merged units actually appear (not all single chars)
+    assert any(len(tok) > 1 and tok != "</w>" for tok in out[0])
