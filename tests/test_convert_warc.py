@@ -419,3 +419,52 @@ def test_scan_warc_source_roundtrip(spark, tmp_path):
         .count()
     )
     assert n == 1
+
+
+def test_write_cdxj_globally_sorted_shards(spark, tmp_path):
+    """CDXJ sink: lines keyed <surt> <ts14> <json>, shards globally
+    sorted (shard k's last key <= shard k+1's first), non-fetchable rows
+    excluded."""
+    import glob as _glob
+    import json as _json
+
+    from warcit_spark.sinks.cdx import write_cdxj
+
+    rows = [
+        ("http://B.test/z", "2017-03-04 12:34:56", "sha1:bb", "text/html", "f1.warc.gz"),
+        ("http://a.test/x", "2017-03-04 12:34:56", "sha1:aa", "text/html", "f1.warc.gz"),
+        ("http://a.test/x", "2016-01-01 00:00:00", "sha1:a0", "text/html", "f0.warc.gz"),
+        ("http://www.a.test/y", "2018-05-05 05:05:05", "sha1:cc", "text/plain", "f2.warc.gz"),
+        ("not a url", "2018-05-05 05:05:05", "sha1:dd", "x", "f2.warc.gz"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, ts_s string, payload_digest string, "
+              "content_type string, warc_file string"
+    ).select("url", F.col("ts_s").cast("timestamp").alias("ts"),
+             "payload_digest", "content_type", "warc_file")
+
+    out = str(tmp_path / "cdx")
+    write_cdxj(df, out, n_shards=2)
+
+    shards = sorted(_glob.glob(out + "/part-*"))
+    assert len(shards) == 2
+    lines, per_shard_keys = [], []
+    for s in shards:
+        with open(s) as fh:
+            shard_lines = [l.rstrip("\n") for l in fh if l.strip()]
+        keys = [" ".join(l.split(" ", 2)[:2]) for l in shard_lines]
+        assert keys == sorted(keys), s          # sorted within shard
+        per_shard_keys.append(keys)
+        lines.extend(shard_lines)
+    # global order across the shard sequence
+    flat = [k for ks in per_shard_keys for k in ks]
+    assert flat == sorted(flat)
+    assert len(lines) == 4                      # non-URL row excluded
+
+    # first line: a.test's older capture; surt strips www on the last
+    first = lines[0].split(" ", 2)
+    assert first[0] == "test,a)/x" and first[1] == "20160101000000"
+    meta = _json.loads(first[2])
+    assert meta == {"url": "http://a.test/x", "digest": "sha1:a0",
+                    "mime": "text/html", "filename": "f0.warc.gz"}
+    assert any(l.startswith("test,a)/y 20180505050505") for l in lines)
