@@ -468,3 +468,47 @@ def test_write_cdxj_globally_sorted_shards(spark, tmp_path):
     assert meta == {"url": "http://a.test/x", "digest": "sha1:a0",
                     "mime": "text/html", "filename": "f0.warc.gz"}
     assert any(l.startswith("test,a)/y 20180505050505") for l in lines)
+
+
+def test_full_archive_loop_write_scan_index(spark, tmp_path):
+    """Capstone composition: records -> WARC files (sink) -> distributed
+    read-back (source) -> CDXJ index (sink) — the complete archive loop a
+    webrecorder-stack user runs, in one job graph per stage."""
+    import glob as _glob
+
+    from warcit_spark.sinks.cdx import write_cdxj
+    from warcit_spark.sources.warc import scan_warc
+
+    out_warc = str(tmp_path / "warcs")
+    manifest = write_warc_files(
+        _records_df(spark).coalesce(1), out_warc, gzip_records=True
+    ).collect()
+    assert manifest[0].n_records == 2
+
+    recs = scan_warc(spark, out_warc).where(
+        F.col("record_type") != "warcinfo"
+    )
+    cdx_in = recs.select(
+        F.col("target_uri").alias("url"),
+        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        "payload_digest",
+        "content_type",
+        "warc_file",
+    )
+    out_cdx = str(tmp_path / "cdx")
+    write_cdxj(cdx_in, out_cdx)
+
+    lines = []
+    for s in sorted(_glob.glob(out_cdx + "/part-*")):
+        with open(s) as fh:
+            lines += [l.rstrip("\n") for l in fh if l.strip()]
+    keys = [" ".join(l.split(" ", 2)[:2]) for l in lines]
+    assert keys == sorted(keys) and len(lines) == 2
+    assert keys[0] == "test,w)/a.html 20170304123456"
+    assert keys[1] == "test,w)/dir/ 20170304123456"
+    # the index points back at the WARC file the sink actually wrote
+    import json as _json
+    import os as _os
+
+    fn = _json.loads(lines[0].split(" ", 2)[2])["filename"]
+    assert fn == _os.path.basename(manifest[0].path)
