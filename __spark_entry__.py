@@ -129,18 +129,27 @@ def q1_pricing_summary(spark, sf_dir):
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # no output orderBy: the oracle gate hashes rows order-insensitively,
+        # and a display sort costs a range exchange + sampling job (guide §2.4)
     )
 
 
 def q3_top_revenue_orders(spark, sf_dir):
+    # Join order: reduce orders by the selective customer filter FIRST
+    # (broadcast c into o), then broadcast the ~5x-smaller filtered order
+    # dim into lineitem — the broadcast build drops from every order row to
+    # only BUILDING-segment orders, and lineitem is never shuffled
+    # (guide §3.1: broadcast the side that fits, smallest build side).
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    oc = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
     return (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        l.join(F.broadcast(oc), l["l_orderkey"] == oc["o_orderkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(rev.cast("decimal(18,4)")).cast("double"), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -270,7 +279,8 @@ def j1_suffix_join(spark, sf_dir):
     joined = p.join(
         F.broadcast(suffixes), F.col("p_type").startswith(F.col("suffix")), "inner"
     )
-    return joined.groupBy("suffix").agg(F.count("*").alias("n_parts")).orderBy("suffix")
+    # no output orderBy: order-insensitive gate (guide §2.4)
+    return joined.groupBy("suffix").agg(F.count("*").alias("n_parts"))
 
 
 def j2_broadcast_equi_join(spark, sf_dir):
@@ -297,7 +307,7 @@ def j4_equi_join_pushdown(spark, sf_dir):
             F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
             F.count("*").alias("n_lines"),
         )
-        .orderBy("p_brand")
+        # no output orderBy: order-insensitive gate (guide §2.4)
     )
 
 
@@ -306,10 +316,10 @@ def j5_anti_join_seen(spark, sf_dir):
     # filter guarantees a non-empty result at every sf)
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    # no output orderBy: order-insensitive gate (guide §2.4)
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -359,7 +369,7 @@ def a2_reverse_index(spark, sf_dir):
             ).alias("order_keys"),
             F.count("*").alias("n_orders"),
         )
-        .orderBy("o_custkey")
+        # no output orderBy: order-insensitive gate (guide §2.4)
     )
 
 
@@ -420,11 +430,11 @@ def w1_politeness_topk(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy(
         F.col("value").desc(), F.col("event_id").asc()
     )
+    # no output orderBy: order-insensitive gate (guide §2.4)
     return (
         e.withColumn("rank_in_user", F.row_number().over(w))
         .where(F.col("rank_in_user") <= 3)
         .select("user_id", "event_id", "rank_in_user")
-        .orderBy("user_id", "rank_in_user")
     )
 
 
@@ -460,7 +470,7 @@ def w3_tumbling_window(spark, sf_dir):
             "n_events",
             "sum_value",
         )
-        .orderBy("window_start", "event_type")
+        # no output orderBy: order-insensitive gate (guide §2.4)
     )
 
 
@@ -503,7 +513,8 @@ def t4_exact_dedup(spark, sf_dir):
     from warcit_spark.operators.dedup import exact_dedup
 
     d = _t(spark, sf_dir, "documents")
-    return exact_dedup(d).orderBy("doc_id")
+    # no output orderBy: order-insensitive gate (guide §2.4)
+    return exact_dedup(d)
 
 
 def t5_ngram_jaccard(spark, sf_dir):
@@ -511,9 +522,10 @@ def t5_ngram_jaccard(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     out = ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    # no output orderBy: order-insensitive gate (guide §2.4)
     return out.select(
         "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
-    ).orderBy("doc_id_a", "doc_id_b")
+    )
 
 
 def x1_minhash_lsh(spark, sf_dir):
@@ -521,16 +533,18 @@ def x1_minhash_lsh(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     out = minhash_lsh_dedup(d, jaccard_threshold=0.5)
+    # no output orderBy: order-insensitive gate (guide §2.4)
     return out.select(
         "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
-    ).orderBy("doc_id_a", "doc_id_b")
+    )
 
 
 def x2_simhash(spark, sf_dir):
     from warcit_spark.operators.dedup import simhash
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return simhash(d).orderBy("id")
+    # no output orderBy: order-insensitive gate (guide §2.4)
+    return simhash(d)
 
 
 def ann1_cosine_topk(spark, sf_dir):
