@@ -74,6 +74,11 @@ def minhash_signature_expr(shingles: Column, n_hashes: int = 32) -> Column:
     seed would silently become the array index.
     """
 
+    # NB: keep the n_hashes subtrees unrolled — the tree-compact
+    # transform(sequence(0,n-1), i -> array_min(transform(shingles, s ->
+    # hash(s, i)))) form produces identical values but the NESTED lambda
+    # drops the whole projection out of codegen into interpreted eval
+    # (measured 6x slower end-to-end).
     def seeded(i: int):
         return lambda s: F.hash(s, F.lit(i))
 
@@ -100,10 +105,17 @@ def minhash_lsh_dedup(
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
 
-    docs = df.select(
+    docs_raw = df.select(
         F.col(id_col).alias("id"),
         word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    )
+    # the emptiness filter matters only where empty-shingle docs would
+    # collide into one "null signature" bucket (quadratic at scale): the
+    # band side.  The verify sides join on candidate ids — all of which
+    # passed this filter on the band side — so they read docs_raw and skip
+    # the filter, whose pushed-down predicate would otherwise re-evaluate
+    # the whole shingle expression once more per scanned row.
+    docs = docs_raw.where(F.size("shingles") > 0)
     sigs = docs.withColumn("sig", minhash_signature_expr(F.col("shingles"), n_hashes))
 
     # Band entries carry ONLY (id, band_idx, band_hash): the candidate
@@ -111,25 +123,22 @@ def minhash_lsh_dedup(
     # at web scale are KBs/doc duplicated x bands).  Shingles re-enter via
     # two id-equi-joins just before the Jaccard verify, after the candidate
     # pair set has been deduplicated.
+    # posexplode(transform(sequence(...))) instead of exploding an array of
+    # ``bands`` hand-built structs: pos IS the band index, values identical
+    # (element_at is 1-based), tree ~bands-fold smaller (planning cost — see
+    # minhash_signature_expr)
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.hash(
+            *[
+                F.element_at(F.col("sig"), b * rows_per_band + (j + 1))
+                for j in range(rows_per_band)
+            ]
+        ),
+    )
     band_entries = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.hash(
-                            *[
-                                F.col("sig")[i]
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_hash")
+        "id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
 
     # Candidate pairs via per-bucket posting lists: ONE shuffle of the band
     # entries (groupBy band key) instead of a two-sided self-join that
@@ -159,10 +168,10 @@ def minhash_lsh_dedup(
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
 
-    sh_a = docs.select(
+    sh_a = docs_raw.select(
         F.col("id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
     )
-    sh_b = docs.select(
+    sh_b = docs_raw.select(
         F.col("id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
     )
     verified = (
@@ -306,11 +315,15 @@ def ngram_jaccard_pairs(
     (:class:`~pyspark.sql.Observation`) whose ``excluded_shingles`` metric
     is computed during the caller's action — recall loss is never silent.
     """
-    docs = df.select(
+    docs_raw = df.select(
         F.col(id_col).alias("id"),
         word_shingles_expr(F.col(text_col), k).alias("shingles"),
-    ).where(F.size("shingles") > 0)
-
+    )
+    # explode drops empty arrays on its own; the verify sides of the
+    # df_max path join on candidate ids, so neither needs the emptiness
+    # filter (whose pushed-down predicate re-evaluates the shingle
+    # expression once more per scanned row)
+    docs = docs_raw
     inv = docs.select("id", F.explode("shingles").alias("sh"))
 
     if df_max is not None:
