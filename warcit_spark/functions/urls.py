@@ -178,11 +178,19 @@ def canonicalize_with_host_expr(url: Column) -> Column:
     p = _canonical_parts(url)
     fused_host = F.substring_index(p["host"], "@", -1)
     fused_host = F.when(fused_host == "", F.lit(None)).otherwise(fused_host)
+    # fast-path host: chars before the 3rd '/' minus the 'scheme://' prefix
+    # — two byte scans instead of a regex Matcher per link; identical to
+    # regexp_extract(_FAST_HOST_RE) for every fast-path URL (the fast regex
+    # guarantees 'https?://<host>/...' with a ':'-free host, so the first
+    # three '/' delimit exactly scheme and host)
+    fast_host = F.substring_index(
+        F.substring_index(url, "/", 3), "://", -1
+    )
     return F.when(
         url.rlike(_FAST_CANON_RE),
         F.struct(
             url.alias("url"),
-            F.regexp_extract(url, _FAST_HOST_RE, 1).alias("host"),
+            fast_host.alias("host"),
         ),
     ).otherwise(
         F.when(

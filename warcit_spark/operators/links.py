@@ -65,13 +65,36 @@ def resolve_hrefs(
     carry: tuple[str, ...] = ("priority",),
 ) -> DataFrame:
     """(url, *carry, link) from a PRE-computed ``array<string>`` hrefs
-    column (see :func:`hrefs_expr`) — explode + resolve, pure JVM."""
+    column (see :func:`hrefs_expr`) — explode + resolve, pure JVM.
+
+    The parent URL's scheme/authority/directory are computed ONCE PER PAGE
+    *before* the explode: resolving them per exploded link would re-parse
+    the same parent ~links-per-page times (three try_parse_url calls each
+    — at CC weight that was ~75 redundant URI parses per page, the
+    majority of the link phase; guide §1.2 per-task work).
+    """
+    scheme = F.try_parse_url(F.col(url_col), F.lit("PROTOCOL"))
+    auth = F.try_parse_url(F.col(url_col), F.lit("AUTHORITY"))
+    parent_dir = F.regexp_replace(
+        F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")),
+        "[^/]*$",
+        "",
+    )
     exploded = pages.select(
         F.col(url_col).alias("url"),
         *[F.col(c) for c in carry],
+        F.concat(scheme, F.lit("://"), auth).alias("_base"),
+        parent_dir.alias("_dir"),
         F.explode(F.col(hrefs_col)).alias("_href"),
     )
-    link = resolve_link_expr(F.col("url"), F.col("_href"))
+    h = F.trim(F.col("_href"))
+    link = (
+        F.when(h.rlike("^https?://"), h)
+        .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), F.lit(None))  # other schemes
+        .when((h == "") | h.startswith("#"), F.lit(None))
+        .when(h.startswith("/"), F.concat(F.col("_base"), h))
+        .otherwise(F.concat(F.col("_base"), F.col("_dir"), h))
+    )
     return exploded.select(
         "url", *carry, link.alias("link")
     ).where(F.col("link").isNotNull())

@@ -50,6 +50,13 @@ class CrawlState:
     # the 10^10-URL layout: without it every round re-shuffles the full
     # seen set.  0 = plain round-delta parquet (fixture scale).
     seen_buckets: int = 0
+    # Codec for the state tables.  These are engine-internal round deltas
+    # re-read within the same crawl, not user-facing outputs, so the
+    # default favors write+read CPU over ratio (snappy) instead of the
+    # session-wide zstd used for published parquet.  Parameterised for
+    # clusters where state lives on slow/remote storage and ratio wins:
+    # SPARK_GRAFT_STATE_CODEC=zstd.
+    delta_codec: str = os.environ.get("SPARK_GRAFT_STATE_CODEC", "snappy")
 
     def __post_init__(self) -> None:
         os.makedirs(self.root, exist_ok=True)
@@ -141,6 +148,7 @@ class CrawlState:
             .bucketBy(self.seen_buckets, "url")
             .sortBy("url")
             .option("path", self._seen_location())
+            .option("compression", self.delta_codec)
             .mode("append")
             .saveAsTable(name)
         )
@@ -171,7 +179,9 @@ class CrawlState:
             return
         if "round" in df.columns:
             df = df.drop("round")
-        df.write.mode("overwrite").parquet(self.delta_path(table, round_id))
+        df.write.mode("overwrite").option(
+            "compression", self.delta_codec
+        ).parquet(self.delta_path(table, round_id))
 
     def read_round_delta(
         self, spark: SparkSession, table: str, round_id: int
