@@ -208,12 +208,26 @@ def q3_top_revenue_orders(spark, sf_dir):
         o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
-    return (
-        l.join(F.broadcast(oc), l["l_orderkey"] == oc["o_orderkey"])
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+    # group by the unique order key ALONE (narrow long-key hash agg), take
+    # the top 10, and only then re-attach the functionally-dependent
+    # orderdate/orderpriority — the wide (key,date,priority) group key was
+    # ~0.3s of extra hashing for columns that never change the groups
+    # (measured 1.41s -> 1.14s; o_orderkey is unique in orders, so the
+    # groups and revenues are identical by construction)
+    top = (
+        l.join(
+            F.broadcast(oc.select("o_orderkey")),
+            l["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey")
         .agg(_exact_money_sum(rev, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
+    )
+    return (
+        oc.join(F.broadcast(top), on="o_orderkey")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
     )
 
 
