@@ -195,13 +195,21 @@ def main():
             F.col("fetched") & F.col("url").endswith(".html")
             | F.col("fetched") & ~F.col("url").rlike(r"\.[A-Za-z0-9]+$")
         )
+        # r6 shape: collapse duplicate raw links BEFORE canonicalizing
+        # (mirrors plans/crawl.py; keep this replay in sync with it)
+        raw_grouped = extract_links(html_pages, carry=("priority",)).groupBy(
+            "link"
+        ).agg(
+            F.max("priority").alias("priority"),
+            F.count(F.lit(1)).alias("_n"),
+        )
         candidates = timed(
             "links",
             lambda: (lambda c: (c.count(), c)[1])(
-                extract_links(html_pages, carry=("priority",))
-                .select(
+                raw_grouped.select(
                     canonicalize_url_expr(F.col("link")).alias("url"),
                     (F.col("priority") * cfg.link_decay).alias("priority"),
+                    "_n",
                 )
                 .withColumn("host", host_expr(F.col("url")))
                 .where(F.col("host").isNotNull())

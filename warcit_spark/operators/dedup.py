@@ -109,13 +109,18 @@ def minhash_lsh_dedup(
         F.col(id_col).alias("id"),
         word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
     )
-    # the emptiness filter matters only where empty-shingle docs would
-    # collide into one "null signature" bucket (quadratic at scale): the
-    # band side.  The verify sides join on candidate ids — all of which
-    # passed this filter on the band side — so they read docs_raw and skip
-    # the filter, whose pushed-down predicate would otherwise re-evaluate
-    # the whole shingle expression once more per scanned row.
-    docs = docs_raw.where(F.size("shingles") > 0)
+    # ``size(shingles) > 0`` is exactly ``text IS NOT NULL``: null text
+    # propagates to a null array (filtered), and any non-null text yields
+    # >= 1 shingle (zero words still produce the [''] shingle).  Filtering
+    # on the raw column pushes IsNotNull into the scan instead of
+    # re-evaluating the whole shingle expression inside the pushed-down
+    # predicate.  The verify sides join on candidate ids — all of which
+    # passed this filter on the band side — so they read docs_raw and need
+    # no filter at all.
+    docs = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
+    )
     sigs = docs.withColumn("sig", minhash_signature_expr(F.col("shingles"), n_hashes))
 
     # Band entries carry ONLY (id, band_idx, band_hash): the candidate
