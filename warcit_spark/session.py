@@ -56,6 +56,14 @@ def get_spark(
         # Verified: the pre-bucketed pages side of the fetch SMJ still
         # scans in place with zero added Exchange (BENCH/PLANS.md).
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # the default 100-entry generated-class cache is smaller than one
+        # pass of the engine's query surface, so interleaved workloads
+        # (the bench suite, a crawl round's ~10 distinct plans) recompile
+        # WholeStageCodegen classes on every execution — measured ~0.5-1s
+        # per complex query per pass.  1000 compiled classes are a few
+        # hundred MB of metaspace at most; read at first-codegen time, so
+        # it must be set here, not after the session is live.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
